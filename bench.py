@@ -1,0 +1,119 @@
+"""Benchmark runner — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): parse→route→aggregate throughput in
+turns/sec over a synthetic transcript corpus scaled to the testdata sf,
+plus per-query wall times for the operator battery at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_TURNS         override transcript corpus size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "a1_ns_op_report",
+    "a5_id_stats",
+    "a6_top_ids",
+    "a8_grouping_sets",
+    "a13_shard_skew",
+    "x1_word_explode",
+    "j3_broadcast_dims",
+    "w1_topk_per_group",
+    "tpch_q1",
+    "tpch_q3ish",
+]
+
+
+def bench_pipeline(spark, n_turns: int) -> tuple[float, int]:
+    """Time the full parse→enrich→route(write)→aggregate pipeline."""
+    from pyspark.sql import functions as F
+
+    from oplog_analyzer_spark import transcripts as T
+    from oplog_analyzer_spark.operators.filters import exclude_system_namespaces
+    from oplog_analyzer_spark.operators.parse import parse_transcripts, unwind_applyops
+    from oplog_analyzer_spark.sources.sinks import (
+        per_sink_aggregates,
+        route_categories,
+        write_routed,
+    )
+
+    n_convs = max(1, n_turns // 12)  # ~12 turns/conv average
+    df = T.generate_transcripts(spark, num_conversations=n_convs)
+    # materialize the input first so generation cost isn't counted
+    src = tempfile.mkdtemp(prefix="bench_src_")
+    out = tempfile.mkdtemp(prefix="bench_out_")
+    try:
+        df.write.mode("overwrite").parquet(src)
+        inp = spark.read.parquet(src)
+        actual_turns = inp.count()
+        cat = T.tool_catalog(spark)
+        t0 = time.time()
+        routed = route_categories(
+            unwind_applyops(exclude_system_namespaces(parse_transcripts(inp))), cat
+        )
+        write_routed(routed, out)
+        agg = per_sink_aggregates(spark.read.parquet(out))
+        agg.collect()
+        wall = time.time() - t0
+        return wall, actual_turns
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = 0.1
+
+    import __spark_entry__ as E
+    from oplog_analyzer_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()  # warm (plan + IO caches)
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        per_query[name] = round(time.time() - t0, 3)
+
+    n_turns = int(os.environ.get("BENCH_TURNS", str(int(2_000_000 * sf_val))))
+    wall, actual = bench_pipeline(spark, n_turns)
+    throughput = actual / wall if wall > 0 else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "parse_route_aggregate_throughput",
+                "value": round(throughput, 1),
+                "unit": "turns/sec",
+                "pipeline_wall_sec": round(wall, 3),
+                "pipeline_turns": actual,
+                "queries": per_query,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,642 @@
+"""The driver-facing query battery: Spark implementations + DuckDB oracles.
+
+Every entry maps one operator family from SURVEY.md §2 onto the driver's
+deterministic testdata tables (TESTDATA.md).  The "events-as-oplog" mapping
+treats the events table as the oplog:
+
+    ns   = event_type                       (namespace analog)
+    op   = value-threshold class i/u/d/c    (op-type analog)
+    size = octet_length(props)              (BSON byte-length analog,
+                                             BaseOplogCommand.java:92)
+    id   = user_id                          (_id analog)
+    shard = user_id % 4                     (shard analog)
+
+Column names are aliased identically in the Spark plan and the oracle SQL
+(the driver hashes values under sorted column names).  Doubles are rounded
+to fixed decimals on BOTH sides so partial-aggregation order can't leak
+into the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import aggregate as A
+from .operators import windows as W
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# events-as-oplog mapping (shared by the A-family queries + oracles)
+
+_OP_SQL = (
+    "CASE WHEN value < 40 THEN 'i' WHEN value < 90 THEN 'u' "
+    "WHEN value < 140 THEN 'd' ELSE 'c' END"
+)
+# DuckDB: strlen = byte length of VARCHAR (octet_length is BLOB-only there);
+# matches Spark octet_length for the same UTF-8 text
+_SIZE_SQL = "strlen(props)"
+_SHARD_SQL = "user_id % 4"
+
+
+def _oplogify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("event_type").alias("ns"),
+        F.when(F.col("value") < 40, "i")
+        .when(F.col("value") < 90, "u")
+        .when(F.col("value") < 140, "d")
+        .otherwise("c")
+        .alias("op"),
+        F.octet_length("props").cast("long").alias("size"),
+        F.col("user_id").alias("id"),
+        (F.col("user_id") % 4).alias("shard"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+
+_OPLOG_CTE = f"""
+WITH oplog AS (
+  SELECT event_id, ts, event_type AS ns, {_OP_SQL} AS op,
+         CAST({_SIZE_SQL} AS BIGINT) AS size, user_id AS id,
+         user_id % 4 AS shard, value, props
+  FROM events
+)
+"""
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1/A3/O1 — core ns::op accumulator report (EntryAccumulator.java:41-71)
+
+@_q(
+    "a1_ns_op_report",
+    _OPLOG_CTE
+    + """
+SELECT ns, op, count(*) AS count, sum(size) AS total_size,
+       min(size) AS min_size, max(size) AS max_size,
+       CAST(floor(sum(size) / count(*)) AS BIGINT) AS avg_size
+FROM oplog GROUP BY ns, op
+""",
+)
+def a1_ns_op_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.ns_op_report(_oplogify(spark, sf_dir))
+
+
+@_q(
+    "a3_threshold_buckets",
+    _OPLOG_CTE
+    + """
+SELECT ns, op, count(*) AS count, sum(size) AS total_size,
+       min(size) AS min_size, max(size) AS max_size,
+       sum(CASE WHEN size > 8 THEN 1 ELSE 0 END) AS gt_8,
+       sum(CASE WHEN size > 9 THEN 1 ELSE 0 END) AS gt_9,
+       sum(CASE WHEN size > 10 THEN 1 ELSE 0 END) AS gt_10,
+       CAST(floor(sum(size) / count(*)) AS BIGINT) AS avg_size
+FROM oplog GROUP BY ns, op
+""",
+)
+def a3_threshold_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.ns_op_report(_oplogify(spark, sf_dir), buckets=(8, 9, 10))
+
+
+@_q(
+    "a4_conditional_avg",
+    _OPLOG_CTE
+    + """
+SELECT ns, op,
+       round(sum(CASE WHEN k > 0 THEN k END) * 1.0
+             / count(CASE WHEN k > 0 THEN k END), 4) AS avg_elements,
+       count(*) AS count
+FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM oplog)
+GROUP BY ns, op
+""",
+)
+def a4_conditional_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — conditional average over rows with positive element counts
+    (EntryAccumulator.java:55-63); element count parsed from the props
+    payload with native get_json_object (JVM-side)."""
+    df = _oplogify(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    pos = F.when(F.col("k") > 0, F.col("k"))
+    return df.groupBy("ns", "op").agg(
+        F.round(F.sum(pos) / F.count(pos), 4).alias("avg_elements"),
+        F.count(F.lit(1)).alias("count"),
+    )
+
+
+# A5/A6 — per-id statistics + top-k (TailCommand.java:161-195, 1708-1712)
+
+@_q(
+    "a5_id_stats",
+    _OPLOG_CTE
+    + """
+SELECT ns, id, count(*) AS count, sum(size) AS total_oplog_size,
+       min(size) AS min_oplog_size, max(size) AS max_oplog_size
+FROM oplog GROUP BY ns, id
+""",
+)
+def a5_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.id_stats(_oplogify(spark, sf_dir))
+
+
+@_q(
+    "a6_top_ids",
+    _OPLOG_CTE
+    + """
+SELECT ns, id, count, total_oplog_size, min_oplog_size, max_oplog_size FROM (
+  SELECT ns, id, count(*) AS count, sum(size) AS total_oplog_size,
+         min(size) AS min_oplog_size, max(size) AS max_oplog_size
+  FROM oplog GROUP BY ns, id
+) ORDER BY count DESC, ns ASC, id ASC LIMIT 20
+""",
+)
+def a6_top_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.top_k_ids(A.id_stats(_oplogify(spark, sf_dir)), k=20)
+
+
+# A8 — per-shard grouping sets (TailCommand.java:996-1012)
+
+@_q(
+    "a8_grouping_sets",
+    _OPLOG_CTE
+    + """
+SELECT shard, ns, op, count(*) AS count, sum(size) AS total_size,
+       min(size) AS min_size, max(size) AS max_size
+FROM oplog GROUP BY GROUPING SETS ((shard, ns, op), (ns, op))
+""",
+)
+def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.shard_grouping_sets(_oplogify(spark, sf_dir), "shard")
+
+
+# A10 — update-frequency stats (AnalyzeCommand.java:69-85)
+
+@_q(
+    "a10_update_frequency",
+    _OPLOG_CTE
+    + """
+SELECT ns, id, count(*) AS update_count, sum(size) AS total_size,
+       min(size) AS min_size, max(size) AS max_size
+FROM oplog WHERE op = 'u' GROUP BY ns, id
+""",
+)
+def a10_update_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.update_frequency(_oplogify(spark, sf_dir))
+
+
+# A11 — namespace rollup with dominant op (AnalyzeCommand.java:87-101)
+
+@_q(
+    "a11_namespace_rollup",
+    _OPLOG_CTE
+    + """
+, per_op AS (
+  SELECT shard, ns, op, count(*) AS op_cnt, sum(size) AS op_bytes,
+         min(size) AS op_min, max(size) AS op_max
+  FROM oplog GROUP BY shard, ns, op
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard, ns
+                               ORDER BY op_cnt DESC, op DESC) AS rk
+  FROM per_op
+)
+SELECT shard, ns, sum(op_cnt) AS op_count, sum(op_bytes) AS total_bytes,
+       min(op_min) AS min_size, max(op_max) AS max_size,
+       max(CASE WHEN rk = 1 THEN op END) AS dominant_op
+FROM ranked GROUP BY shard, ns
+""",
+)
+def a11_namespace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.namespace_rollup(_oplogify(spark, sf_dir), "shard")
+
+
+# A12 — collection pattern classification (AnalyzeCommand.java:443-457)
+
+@_q(
+    "a12_classify",
+    _OPLOG_CTE
+    + """
+SELECT ns, ops, total_bytes,
+       CASE WHEN total_bytes * 1.0 / ops > 9.4 THEN 'heavy-updates'
+            WHEN ops > 100 AND total_bytes * 1.0 / ops < 9.2 THEN 'frequent-small'
+            ELSE 'mixed' END AS pattern
+FROM (SELECT ns, count(*) AS ops, sum(size) AS total_bytes FROM oplog GROUP BY ns)
+""",
+)
+def a12_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.classify_collections(
+        _oplogify(spark, sf_dir), heavy_avg=9.4, frequent_ops=100, small_avg=9.2
+    )
+
+
+# A13 — shard-skew deviation (AnalyzeCommand.java:590-626)
+
+@_q(
+    "a13_shard_skew",
+    _OPLOG_CTE
+    + """
+, per_shard AS (
+  SELECT shard, count(*) AS ops, sum(size) AS bytes FROM oplog GROUP BY shard
+)
+SELECT shard, ops, bytes,
+       round((ops - avg(ops) OVER ()) / avg(ops) OVER () * 100.0, 4) AS ops_deviation_pct,
+       round((bytes - avg(bytes) OVER ()) / avg(bytes) OVER () * 100.0, 4) AS bytes_deviation_pct
+FROM per_shard
+""",
+)
+def a13_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = A.shard_skew(_oplogify(spark, sf_dir), "shard")
+    return out.select(
+        "shard", "ops", "bytes",
+        F.round("ops_deviation_pct", 4).alias("ops_deviation_pct"),
+        F.round("bytes_deviation_pct", 4).alias("bytes_deviation_pct"),
+    )
+
+
+# A14 — cross-shard namespace comparison (AnalyzeCommand.java:656-703)
+
+@_q(
+    "a14_cross_shard",
+    _OPLOG_CTE
+    + """
+, per AS (
+  SELECT ns, shard, count(*) AS ops, sum(size) AS bytes,
+         count(DISTINCT id) AS unique_ids
+  FROM oplog GROUP BY ns, shard
+)
+SELECT ns, shard, ops, bytes, unique_ids,
+       round(avg(ops) OVER (PARTITION BY ns), 4) AS ns_avg_ops,
+       round(avg(bytes) OVER (PARTITION BY ns), 4) AS ns_avg_bytes
+FROM per
+""",
+)
+def a14_cross_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = A.cross_shard_comparison(_oplogify(spark, sf_dir), "shard")
+    return out.select(
+        "ns", "shard", "ops", "bytes", "unique_ids",
+        F.round("ns_avg_ops", 4).alias("ns_avg_ops"),
+        F.round("ns_avg_bytes", 4).alias("ns_avg_bytes"),
+    )
+
+
+# A15 — global running counters (TailCommand.java:149-153, 626-634)
+
+@_q(
+    "a15_global_counters",
+    _OPLOG_CTE
+    + """
+SELECT count(*) AS total_docs, sum(size) AS total_bytes,
+       max(size) AS largest_doc,
+       (SELECT ns FROM oplog ORDER BY size DESC, ns DESC LIMIT 1) AS largest_doc_ns
+FROM oplog
+""",
+)
+def a15_global_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.global_counters(_oplogify(spark, sf_dir))
+
+
+# A16 — workload buckets (AnalyzeCommand.java:405-437)
+
+@_q(
+    "a16_workload_buckets",
+    _OPLOG_CTE
+    + """
+SELECT shard, ops, bytes,
+       CASE WHEN bytes * 1.0 / ops > 9.3 THEN 'heavy' ELSE 'light' END AS workload_class
+FROM (SELECT shard, count(*) AS ops, sum(size) AS bytes FROM oplog GROUP BY shard)
+""",
+)
+def a16_workload_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_shard = (
+        _oplogify(spark, sf_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("ops"), F.sum("size").alias("bytes"))
+    )
+    return A.workload_buckets(per_shard, avg_bytes_threshold=0).select(
+        "shard", "ops", "bytes",
+        F.when(F.col("bytes") / F.col("ops") > 9.3, "heavy").otherwise("light").alias("workload_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F — filter family (TailCommand.java:566-624)
+
+@_q(
+    "f_filter_family",
+    _OPLOG_CTE
+    + """
+SELECT event_id, ns, op, size FROM oplog
+WHERE ns NOT LIKE 'config.%'            -- F1
+  AND ns IN ('click', 'purchase', 'error')  -- F2
+  AND op IN ('i', 'u', 'd')             -- F3
+  AND size BETWEEN 9 AND 11             -- F4
+""",
+)
+def f_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import filters as FL
+
+    df = _oplogify(spark, sf_dir)
+    df = FL.exclude_system_namespaces(df)
+    df = FL.include_namespaces(df, ["click", "purchase", "error"])
+    df = FL.include_ops(df, ["i", "u", "d"])
+    df = FL.size_range(df, 9, 11)
+    return df.select("event_id", "ns", "op", "size")
+
+
+@_q(
+    "f5_threshold_side_output",
+    _OPLOG_CTE
+    + """
+SELECT event_id, ns, op, size, size >= 10 AS over_threshold FROM oplog
+""",
+)
+def f5_threshold_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.filters import threshold_flag
+
+    return threshold_flag(_oplogify(spark, sf_dir), 10).select(
+        "event_id", "ns", "op", "size", "over_threshold"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2/S4 — sources (ScanCommand.java:236-294; TailCommand.java:1476-1482)
+
+@_q(
+    "s2_time_range_scan",
+    """
+SELECT event_type AS ns, count(*) AS count FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+""",
+)
+def s2_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import time_range_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    scanned = time_range_scan(ev, "ts", "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    return scanned.groupBy(F.col("event_type").alias("ns")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+@_q("s4_latest_offset", "SELECT max(ts) AS latest_ts FROM events")
+def s4_latest_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import latest_offset
+
+    return latest_offset(load_table(spark, sf_dir, "events"), "ts")
+
+
+# ---------------------------------------------------------------------------
+# X1 — explode/unwind analog (TailCommand.java:637-668) over documents
+
+@_q(
+    "x1_word_explode",
+    """
+SELECT word, count(*) AS count, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+""",
+)
+def x1_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+# P4 — namespace split (TailCommand.java:414-420)
+
+@_q(
+    "p4_namespace_split",
+    """
+SELECT string_split(lang || '.' || source, '.')[1] AS db,
+       string_split(lang || '.' || source, '.')[2] AS collection,
+       count(*) AS count
+FROM documents GROUP BY 1, 2
+""",
+)
+def p4_namespace_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse import split_namespace
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ns", F.concat_ws(".", "lang", "source")
+    )
+    return split_namespace(docs).groupBy("db", "collection").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins (TailCommand.java:398-463; AnalyzeCommand.java:289-306)
+
+@_q(
+    "j1_lookup_enrich",
+    """
+SELECT o.o_orderkey, coalesce(c.c_acctbal, o.o_totalprice) AS doc_size
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 <> 0) c
+  ON o.o_custkey = c.c_custkey
+""",
+)
+def j1_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — batched point-lookup with left-outer fallback
+    (TailCommand.java:445-458): the dimension intentionally misses ~10% of
+    keys so coalesce falls back to the "oplog size" column."""
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 != 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    out = orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left")
+    return out.select(
+        "o_orderkey", F.coalesce("c_acctbal", "o_totalprice").alias("doc_size")
+    )
+
+
+@_q(
+    "j3_broadcast_dims",
+    """
+SELECT r.r_name AS region, n.n_name AS nation, count(*) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def j3_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.enrich import broadcast_lookup
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = broadcast_lookup(
+        broadcast_lookup(c, n, on=c.c_nationkey == n.n_nationkey, how="inner"),
+        r,
+        on=F.col("n_regionkey") == r.r_regionkey,
+        how="inner",
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+# W1–W3 — window analogs
+
+@_q(
+    "w1_topk_per_group",
+    """
+SELECT event_id, event_type, value FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return W.top_k_per_group(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"], "value", 3, tiebreak_cols=["event_id"],
+    )
+
+
+@_q(
+    "w2_deviation_from_avg",
+    """
+WITH per_user AS (
+  SELECT user_id, round(sum(value), 2) AS total_value FROM events GROUP BY user_id
+)
+SELECT user_id, total_value,
+       round((total_value - avg(total_value) OVER ()) / avg(total_value) OVER (), 4)
+         AS deviation
+FROM per_user
+""",
+)
+def w2_deviation_from_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total_value"))
+    out = W.deviation_from_average(per_user, "total_value")
+    return out.select("user_id", "total_value", F.round("deviation", 4).alias("deviation"))
+
+
+@_q(
+    "w3_first_n_distinct",
+    """
+WITH first_seen AS (
+  SELECT event_type, user_id, min(ts) AS first_ts
+  FROM events GROUP BY event_type, user_id
+), admitted AS (
+  SELECT event_type, user_id FROM (
+    SELECT event_type, user_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY first_ts, user_id) AS rk
+    FROM first_seen
+  ) WHERE rk <= 5
+)
+SELECT e.event_type, e.user_id, count(*) AS n_rows
+FROM events e JOIN admitted a
+  ON e.event_type = a.event_type AND e.user_id = a.user_id
+GROUP BY e.event_type, e.user_id
+""",
+)
+def w3_first_n_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kept = W.first_n_distinct_per_group(ev, ["event_type"], "user_id", 5, "ts")
+    return kept.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headline queries (bench anchors)
+
+@_q(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3ish",
+    """
+SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+)
+def tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,113 @@
+"""W1–W4 — window-function analogs + conversation reassembly.
+
+The reference has no true windowed aggregation; its analogs (top-k per
+group, deviation vs group average, first-N distinct admission) are
+re-expressed as ranked windows.  W4 (conversation reassembly) has no
+reference analog — it is the north_rule's per-turn stable-ordering
+requirement over transcript tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, k: int,
+    tiebreak_cols: list[str] | None = None, descending: bool = True,
+) -> DataFrame:
+    """W1 — row_number ≤ k per group (TailCommand.java:1709-1712 analog).
+
+    Deterministic: the ordering always ends with explicit tie-break
+    columns so ranks are stable under any partitioning.
+    """
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    for c in tiebreak_cols or []:
+        order.append(F.asc(c))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def deviation_from_average(
+    df: DataFrame, value_col: str, partition_cols: list[str] | None = None
+) -> DataFrame:
+    """W2 — (x − avg)/avg vs the group (or global) average
+    (AnalyzeCommand.java:606-626).  Global form uses an empty-frame window
+    over the already-aggregated (small) input."""
+    w = Window.partitionBy(*(partition_cols or []))
+    avg = F.avg(value_col).over(w)
+    return df.withColumn("group_avg", avg).withColumn(
+        "deviation", (F.col(value_col) - F.col("group_avg")) / F.col("group_avg")
+    )
+
+
+def first_n_distinct_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """W3/A9/J4 — distinct-id sampling (SampleCommand.java:275-290).
+
+    The reference admits the first n distinct ids per (shard, ns) and then
+    keeps every later row whose id is already admitted ("follow existing
+    documents").  Declaratively: rank ids by first-seen ts per group, keep
+    rows whose id-rank ≤ n — a window + left-semi-join-free formulation
+    (the dense admission set is derived, not stateful).
+    """
+    first_seen = df.groupBy(*group_cols, id_col).agg(
+        F.min(ts_col).alias("__first_ts")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__first_ts", id_col)
+    admitted = (
+        first_seen.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n)
+        .select(*group_cols, id_col)
+    )
+    # left-semi join keeps only admitted ids; admitted is small (n per
+    # group) → broadcast at scale
+    return df.join(F.broadcast(admitted), on=[*group_cols, id_col], how="left_semi")
+
+
+def reassemble_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """W4 — conversation reassembly under stable (conv_id, turn_idx) order.
+
+    ``sort_array(collect_list(struct(idx, text)))`` gives deterministic
+    per-turn ordering independent of task scheduling — the per-turn text
+    equality invariant (north_rule).  At 10^12-turn scale a hot conv_id
+    can dwarf others; ``salt_partitions`` pre-spreads rows with a salted
+    repartition so no single task receives a whole hot conversation's
+    shuffle block before the final per-conv combine.  The aggregation
+    itself is salt-invariant: collect_list is combined per group after the
+    shuffle and sort_array restores order regardless of arrival.
+    """
+    if salt_partitions:
+        df = df.repartition(
+            salt_partitions, F.col(conv_col), F.pmod(F.col(idx_col), F.lit(16))
+        )
+    assembled = df.groupBy(conv_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(idx_col, text_col))),
+                lambda s: s[text_col],
+            ),
+            sep,
+        ).alias("full_text"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(idx_col).alias("first_turn"),
+        F.max(idx_col).alias("last_turn"),
+    )
+    return assembled

@@ -1,0 +1,76 @@
+"""Routing fan-out sinks + metrics/lineage tables.
+
+The reference routes every passing row to a per-shard gzip dump file
+(TailCommand.java:276-361) and serializes aggregate stats to JSON
+(SampleCommand.java:527-592).  Spark-first: one ``partitionBy(category)``
+write fans out to per-category directories with per-task writers — no
+writer contention, no driver involvement — and the stats report is itself a
+DataFrame written to a metrics table.
+
+Iceberg note: the sandbox lacks the iceberg-spark-runtime jar, so sinks are
+parquet directories with identical layout + a manifest (lineage) table; the
+writer API is isolated here so swapping ``format("iceberg")`` in is a
+one-line change (SURVEY.md §7.5.6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def route_categories(
+    df: DataFrame,
+    tool_catalog: DataFrame,
+    tool_col: str = "tool",
+    default_category: str = "uncat",
+) -> DataFrame:
+    """Assign every row its routing category via broadcast lookup on the
+    tool dimension; tools missing from the catalog fall back to a default
+    (left-outer + coalesce — the J1 fallback pattern,
+    TailCommand.java:456-458)."""
+    dim = tool_catalog.select(tool_col, "category")
+    routed = df.join(F.broadcast(dim), on=tool_col, how="left")
+    return routed.withColumn(
+        "category", F.coalesce(F.col("category"), F.lit(default_category))
+    )
+
+
+def write_routed(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """S6 — fan-out sink: one directory per category, per-task parquet
+    writers (the scale path for 10^12 rows — each task streams to its own
+    files, exactly the reference's one-file-per-shard contention dodge,
+    TailCommand.java:276-292)."""
+    df.write.mode(mode).partitionBy("category").parquet(out_dir)
+
+
+def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(out_dir)
+
+
+def per_sink_aggregates(routed: DataFrame) -> DataFrame:
+    """S7 analog — per-sink aggregate report (north_star): per (category,
+    ns): op counts, distinct conv_id, min/max ts.  Mirrors the
+    OplogTailingAnalyzer accumulator report keyed by routing target."""
+    return routed.groupBy("category", "ns").agg(
+        F.count(F.lit(1)).alias("op_count"),
+        F.sum(F.when(F.col("op") == "i", 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_update"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_delete"),
+        F.sum(F.when(F.col("op") == "c", 1).otherwise(0)).alias("n_command"),
+        F.countDistinct("conv_id").alias("distinct_conv"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum("size").alias("total_bytes"),
+    )
+
+
+def write_metrics(df: DataFrame, metrics_dir: str, batch_id: int | None = None) -> None:
+    """T3/S7 — metrics table sink; appended per batch for lineage."""
+    out = df
+    if batch_id is not None:
+        out = out.withColumn("batch_id", F.lit(batch_id))
+    path = os.path.join(metrics_dir)
+    out.write.mode("append").parquet(path)

@@ -1,0 +1,29 @@
+"""Driver-contract smoke tests: entry() runs, every queries() entry runs at
+sf0.001, every oracle key has a matching query key."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+from tests.conftest import SF_SMALL
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"ns", "op", "count", "total_size", "min_size", "max_size", "avg_size"} <= set(
+        df.columns
+    )
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 20
+
+
+def test_all_queries_run_small(spark):
+    for name, fn in E.queries().items():
+        df = fn(spark, SF_SMALL)
+        assert df.count() >= 0, name

@@ -1,0 +1,128 @@
+"""Unit tests per SURVEY.md §2 operator, mirroring the reference's semantic
+quirks: floor-division avg (EntryAccumulator.java:82), -1 doc-size sentinel
+exclusion (TailCommand.java:176-181), integer-division applyOps size split
+(TailCommand.java:657), two-threshold independence (README.md:412-431)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oplog_analyzer_spark.operators import aggregate as A
+from oplog_analyzer_spark.operators import filters as FL
+from oplog_analyzer_spark.operators import windows as W
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ns_op_report_floor_avg(spark):
+    df = _mk(
+        spark,
+        [("a.b", "i", 10), ("a.b", "i", 5), ("a.b", "u", 7)],
+        "ns string, op string, size long",
+    )
+    out = {(r["ns"], r["op"]): r for r in A.ns_op_report(df).collect()}
+    r = out[("a.b", "i")]
+    # avg = floor(15/2) = 7, not 7.5 (EntryAccumulator.java:82)
+    assert (r["count"], r["total_size"], r["min_size"], r["max_size"], r["avg_size"]) == (
+        2, 15, 5, 10, 7,
+    )
+    assert out[("a.b", "u")]["avg_size"] == 7
+
+
+def test_threshold_buckets_strictly_greater(spark):
+    df = _mk(spark, [("a", "i", 10), ("a", "i", 11)], "ns string, op string, size long")
+    r = A.ns_op_report(df, buckets=(10,)).collect()[0]
+    # strictly greater: size==10 not counted (EntryAccumulator.java:65-70)
+    assert r["gt_10"] == 1
+
+
+def test_conditional_averages_skip_nonpositive(spark):
+    df = _mk(
+        spark,
+        [("a", "u", 1, 4), ("a", "u", 1, 0), ("a", "u", 1, 2)],
+        "ns string, op string, size long, elems int",
+    )
+    r = A.ns_op_report(df, elements_col="elems").collect()[0]
+    assert r["avg_elements"] == 3.0  # (4+2)/2, zero-rows excluded
+
+
+def test_id_stats_sentinel_exclusion(spark):
+    df = _mk(
+        spark,
+        [("a", "x", 10, 100), ("a", "x", 20, -1), ("a", "x", 30, 200)],
+        "ns string, id string, size long, doc_size long",
+    )
+    r = A.id_stats(df, doc_size_col="doc_size").collect()[0]
+    # -1 rows excluded from doc-size aggregates, included in count/oplog
+    assert r["count"] == 3
+    assert r["total_oplog_size"] == 60
+    assert (r["total_doc_size"], r["min_doc_size"], r["max_doc_size"]) == (300, 100, 200)
+    assert r["doc_size_count"] == 2
+
+
+def test_top_k_ids_deterministic(spark):
+    rows = [("a", f"id{i}", 1) for i in range(5)] + [("a", "id1", 1), ("a", "id3", 1)]
+    df = _mk(spark, rows, "ns string, id string, size long")
+    top = A.top_k_ids(A.id_stats(df), k=2).collect()
+    assert [(r["id"], r["count"]) for r in top] == [("id1", 2), ("id3", 2)]
+
+
+def test_two_threshold_independence(spark):
+    """F5 flags but never filters; F6 independently gates the id-stats
+    branch (reference README.md:412-431)."""
+    df = _mk(
+        spark,
+        [("a", "x", 5), ("a", "x", 15), ("a", "y", 25)],
+        "ns string, id string, size long",
+    )
+    flagged = FL.threshold_flag(df, 20)
+    assert flagged.count() == 3  # side output, nothing dropped
+    assert flagged.filter("over_threshold").count() == 1
+    gated = FL.id_stats_threshold(df, 10)
+    assert gated.count() == 2
+
+
+def test_per_shard_limit(spark):
+    rows = [(s, i, f"t{i}") for s in ("s0", "s1") for i in range(5)]
+    df = _mk(spark, rows, "shard string, ts int, v string")
+    out = FL.per_shard_limit(df, 2, "shard", "ts")
+    got = sorted((r["shard"], r["ts"]) for r in out.collect())
+    assert got == [("s0", 0), ("s0", 1), ("s1", 0), ("s1", 1)]
+
+
+def test_shard_grouping_sets_has_global_rows(spark):
+    df = _mk(
+        spark,
+        [("s0", "a", "i", 1), ("s1", "a", "i", 3)],
+        "shard string, ns string, op string, size long",
+    )
+    rows = A.shard_grouping_sets(df, "shard").collect()
+    per_shard = {r["shard"]: r for r in rows if r["shard"] is not None}
+    global_rows = [r for r in rows if r["shard"] is None]
+    assert per_shard["s0"]["count"] == 1 and per_shard["s1"]["count"] == 1
+    assert len(global_rows) == 1 and global_rows[0]["count"] == 2
+    assert global_rows[0]["total_size"] == 4
+
+
+def test_first_n_distinct_admission(spark):
+    """A9/W3 — first-N distinct ids admitted, later rows of admitted ids
+    still kept (SampleCommand.java:275-290)."""
+    rows = [
+        ("s", "ns", "id1", 1), ("s", "ns", "id2", 2), ("s", "ns", "id3", 3),
+        ("s", "ns", "id1", 4),  # admitted id seen again → kept
+    ]
+    df = _mk(spark, rows, "shard string, ns string, id string, ts int")
+    out = W.first_n_distinct_per_group(df, ["shard", "ns"], "id", 2)
+    kept = sorted((r["id"], r["ts"]) for r in out.collect())
+    assert kept == [("id1", 1), ("id1", 4), ("id2", 2)]
+
+
+def test_lookup_enrich_fallback(spark):
+    from oplog_analyzer_spark.operators.enrich import lookup_actual_size
+
+    facts = _mk(spark, [("a", 10), ("b", 20)], "id string, size long")
+    dim = _mk(spark, [("a", 99)], "id string, actual_size long")
+    out = {r["id"]: r["doc_size"] for r in lookup_actual_size(facts, dim).collect()}
+    assert out == {"a": 99, "b": 20}  # b falls back to oplog size

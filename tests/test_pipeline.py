@@ -1,0 +1,163 @@
+"""North-rule invariant tests (SURVEY.md §5.3-5.4):
+  * parse correctness vs an independent pandas re-implementation
+  * routed-row equality (union of sinks == filtered input, each row once)
+  * per-turn text equality under stable (conv_id, turn_idx) ordering
+  * checkpoint kill-and-resume idempotence
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from oplog_analyzer_spark import transcripts as T
+from oplog_analyzer_spark.operators.parse import parse_transcripts, unwind_applyops
+from oplog_analyzer_spark.plans.pipeline import TranscriptPipeline
+
+
+def test_generator_deterministic(spark, transcripts):
+    again = T.generate_transcripts(
+        spark, num_conversations=120, turns_per_conv=8, hot_every=60, hot_turns=60
+    )
+    a = sorted(map(tuple, transcripts.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
+def test_generator_invariants(transcripts):
+    pdf = transcripts.toPandas()
+    # turn_idx unique per conv, ts strictly increasing per conv
+    for _, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        assert g["turn_idx"].is_unique
+        assert g["ts"].is_monotonic_increasing
+    # hot conversations exist (skew fixture)
+    sizes = pdf.groupby("conv_id").size()
+    assert sizes.max() >= 5 * sizes.median()
+
+
+def _pandas_parse(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Independent reference implementation of the parse stage (pure
+    pandas, written against the text layout spec — not the Spark code)."""
+    out = pd.DataFrame(index=pdf.index)
+    out["ns"] = pdf["text"].str.extract(r"ns=([a-zA-Z0-9_.$]+)", expand=False)
+    out["op"] = pdf["text"].str.extract(r"op:([iudcn])", expand=False)
+    out["size"] = pdf["text"].str.encode("utf-8").str.len()
+    diffs = pdf["text"].str.extract(r"diff=(\{.*?\})(?: |$)", expand=False)
+
+    def count_elems(o):
+        if isinstance(o, dict):
+            return sum(count_elems(v) for v in o.values())
+        if isinstance(o, list):
+            return sum(count_elems(v) for v in o)
+        return 1
+
+    out["diff_fields"] = diffs.map(lambda s: len(json.loads(s)) if isinstance(s, str) else 0)
+    out["total_elements"] = diffs.map(
+        lambda s: count_elems(json.loads(s)) if isinstance(s, str) else 0
+    )
+    return out
+
+
+def test_parse_matches_pandas_reference(transcripts):
+    parsed = (
+        parse_transcripts(transcripts)
+        .withColumn("diff_fields", F.col("diff.diff_fields"))
+        .withColumn("total_elements", F.col("diff.total_elements"))
+        .toPandas()
+    )
+    expected = _pandas_parse(parsed)
+    for col in ("ns", "op", "size", "diff_fields", "total_elements"):
+        pd.testing.assert_series_equal(
+            parsed[col].reset_index(drop=True),
+            expected[col].reset_index(drop=True),
+            check_names=False,
+            check_dtype=False,
+        )
+
+
+def test_unwind_integer_division(spark):
+    df = spark.createDataFrame(
+        [("x.$cmd", "c", "a.b/i;c.d/u;e.f/i", 100), ("x.y", "i", "", 50)],
+        "ns string, op string, sub string, size long",
+    )
+    out = unwind_applyops(df).collect()
+    inner = [r for r in out if r["ns"] != "x.y"]
+    # 100 // 3 == 33 — integer division parity (TailCommand.java:657)
+    assert sorted((r["ns"], r["op"], r["size"]) for r in inner) == [
+        ("a.b", "i", 33), ("c.d", "u", 33), ("e.f", "i", 33),
+    ]
+
+
+def test_routed_row_equality(spark, transcripts, tmp_path):
+    pipe = TranscriptPipeline(spark, str(tmp_path / "wd"), T.tool_catalog(spark), num_batches=3)
+    pipe.run(transcripts)
+    routed = pipe.routed()
+    # reference semantics: every non-system input row lands in exactly one
+    # sink partition; applyOps rows fan out to k inner rows
+    expect = unwind_applyops(
+        parse_transcripts(transcripts).filter(~F.col("ns").startswith("config."))
+    )
+    assert routed.count() == expect.count()
+    key_in = expect.groupBy("conv_id", "turn_idx", "ns", "op").count()
+    key_out = routed.groupBy("conv_id", "turn_idx", "ns", "op").count()
+    assert key_in.exceptAll(key_out).count() == 0
+    assert key_out.exceptAll(key_in).count() == 0
+    # each input row routes to exactly one category (inner unwound rows
+    # inherit the parent's tool → same single category)
+    multi_cat = (
+        routed.groupBy("conv_id", "turn_idx")
+        .agg(F.countDistinct("category").alias("n_cat"))
+        .filter(F.col("n_cat") != 1)
+    )
+    assert multi_cat.count() == 0
+
+
+def test_reassembly_per_turn_text_equality(spark, transcripts):
+    from oplog_analyzer_spark.operators.windows import reassemble_conversations
+
+    got = reassemble_conversations(transcripts, salt_partitions=8).toPandas()
+    pdf = transcripts.toPandas()
+    expected = (
+        pdf.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["text"]
+        .apply("\n".join)
+    )
+    got = got.set_index("conv_id")["full_text"]
+    pd.testing.assert_series_equal(
+        got.sort_index(), expected.sort_index(), check_names=False
+    )
+
+
+def test_checkpoint_resume_idempotent(spark, transcripts, tmp_path):
+    cat = T.tool_catalog(spark)
+    # uninterrupted run
+    ref = TranscriptPipeline(spark, str(tmp_path / "ref"), cat, num_batches=4)
+    ref.run(transcripts)
+    want = sorted(map(tuple, ref.final_aggregates().collect()))
+
+    # killed after 2 batches, then resumed
+    pipe = TranscriptPipeline(spark, str(tmp_path / "kill"), cat, num_batches=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipe.run(transcripts, fail_after_batch=2)
+    state = pipe._load_checkpoint()
+    assert len(state["completed"]) == 2
+    state2 = pipe.run(transcripts)  # resume
+    assert len(state2["completed"]) == 4
+    got = sorted(map(tuple, pipe.final_aggregates().collect()))
+    assert got == want
+    # lineage recorded per batch
+    assert all("rows_in" in v and "rows_out" in v for v in state2["completed"].values())
+
+
+def test_pipeline_skips_completed_batches(spark, transcripts, tmp_path):
+    pipe = TranscriptPipeline(spark, str(tmp_path / "wd2"), T.tool_catalog(spark), num_batches=2)
+    s1 = pipe.run(transcripts)
+    wall1 = {k: v["wall_sec"] for k, v in s1["completed"].items()}
+    s2 = pipe.run(transcripts)  # second run: all batches already complete
+    wall2 = {k: v["wall_sec"] for k, v in s2["completed"].items()}
+    assert wall1 == wall2  # untouched checkpoint entries → nothing re-ran
