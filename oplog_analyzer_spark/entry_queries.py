@@ -634,6 +634,237 @@ def tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup / text-analysis / similarity / multimodal (training-data pipeline ops)
+
+@_q(
+    "dedup_exact",
+    r"""
+SELECT md5(norm) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents)
+GROUP BY norm
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_token_count",
+    r"""
+SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import token_count
+
+    return token_count(load_table(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+
+
+@_q(
+    "text_quality",
+    r"""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_chars,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       CAST(strlen(text) - strlen(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(floor(strlen(regexp_replace(trim(text), '\s+', '', 'g')) * 100.0
+            / greatest(len(string_split_regex(trim(text), '\s+')), 1)) AS BIGINT)
+         AS mean_token_len_x100
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "mean_token_len_x100"
+    )
+
+
+@_q(
+    "text_lang_id",
+    r"""
+SELECT doc_id, en_hits, fr_hits,
+       CASE WHEN en_hits < 2 AND fr_hits < 2 THEN 'und'
+            WHEN en_hits >= fr_hits THEN 'en' ELSE 'fr' END AS lang_guess
+FROM (
+  SELECT doc_id,
+         len(list_intersect(string_split_regex(trim(text), '\s+'),
+             ['the','a','and','of','to','in','is','it','that','for'])) AS en_hits,
+         len(list_intersect(string_split_regex(trim(text), '\s+'),
+             ['le','la','et','de','un','une','est','que','pour','dans'])) AS fr_hits
+  FROM documents)
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "en_hits", "fr_hits", "lang_guess"
+    )
+
+
+@_q(
+    "text_fingerprint",
+    r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textstats import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+@_q(
+    "emb_top1_nn",
+    """
+SELECT q_id, c_id AS nn_id, round(cosine, 4) AS cosine FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                    c.vec_id ASC) AS rn
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 100
+) WHERE rn = 1
+""",
+)
+def emb_top1_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import top1_neighbor
+
+    return top1_neighbor(load_table(spark, sf_dir, "embeddings"), max_queries=100)
+
+
+@_q(
+    "emb_neardup_pairs",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+""",
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.9, max_left=300
+    )
+
+
+@_q(
+    "mm_decoded_meta",
+    """
+SELECT doc_id AS asset_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       CAST((strlen(text) * 7) % 640 + 16 AS INT) AS width,
+       CAST(strlen(text) % 480 + 16 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 24 + 1
+                 WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS INT) AS n_frames
+FROM documents
+""",
+)
+def mm_decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (mapInPandas over binary payloads); the
+    deterministic stub makes the Arrow batch path SQL-checkable.  Note the
+    kind cycle: doc_id%3 = 0→audio? no — element_at(arr, pmod+1):
+    0→image? see functions/multimodal.py; oracle mirrors the same cycle."""
+    from .functions.multimodal import build_assets, decode_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_assets(build_assets(docs)).select(
+        "asset_id", "kind", "byte_len", "width", "height", "n_frames"
+    )
+
+
+@_q(
+    "mm_frame_sample",
+    """
+SELECT asset_id, CAST(unnest(range(0, n_frames, 6)) AS INT) AS frame_idx
+FROM (
+  SELECT doc_id AS asset_id, strlen(text) % 24 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import build_assets, decode_assets, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(decode_assets(build_assets(docs)), every_n=6)
+
+
+# --- rows-only entries (hash-based / pipeline ops with no clean ANSI-SQL
+#     equivalent; verified instead by tests/test_functions.py oracles) -----
+
+@_q("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_q("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@_q("dedup_ngram_jaccard")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_q("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), k=3)
+
+
+@_q("pipeline_per_sink_aggregates")
+def pipeline_per_sink_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline surface: parse→enrich→route→aggregate over the
+    deterministic transcript corpus (generated in-Spark; not a driver
+    table, so rows-only here — full DuckDB differential in
+    tests/test_functions.py::test_pipeline_aggregates_vs_duckdb)."""
+    from .operators.filters import exclude_system_namespaces
+    from .operators.parse import parse_transcripts, unwind_applyops
+    from .sources.sinks import per_sink_aggregates, route_categories
+    from .transcripts import generate_transcripts, tool_catalog
+
+    df = generate_transcripts(spark, num_conversations=300)
+    routed = route_categories(
+        unwind_applyops(exclude_system_namespaces(parse_transcripts(df))),
+        tool_catalog(spark),
+    )
+    return per_sink_aggregates(routed)
+
+
+@_q("conversation_reassembly")
+def conversation_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import reassemble_conversations
+    from .transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, num_conversations=300)
+    out = reassemble_conversations(df, salt_partitions=32)
+    return out.select("conv_id", F.md5("full_text").alias("text_md5"), "n_turns")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

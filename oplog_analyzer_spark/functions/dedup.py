@@ -1,0 +1,299 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all shuffle-aware:
+
+  exact            hash group-by on normalized text — one shuffle
+  ngram_jaccard    word-shingle inverted index + self-join — candidate
+                   pairs only ever meet on a shared shingle, never O(n²)
+  minhash_lsh      minhash signatures → banded bucket join (the classic
+                   shingle→minhash→band→bucket pipeline); candidates
+                   verified with exact jaccard
+  simhash          64-bit simhash via per-bit majority vote, banded into
+                   4×16-bit chunks for candidate generation
+  embedding_cosine near-duplicate pairs by cosine over an embedding column
+
+All hashing is xxhash64 (JVM-side, seedable by prepending a literal), so
+signatures are deterministic and computed without any Python in the path.
+At 100 TB every stage is a narrow map except the explicit shuffles noted
+per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _normalized(text_col: str) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the smallest id per normalized text.  One hash
+    aggregate (partial map-side combine makes the shuffle proportional to
+    the number of DISTINCT texts, not rows)."""
+    return (
+        df.withColumn("_norm", _normalized(text_col))
+        .groupBy("_norm")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(F.md5("_norm").alias("text_hash"), "keep_id", "dup_count")
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks))),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard via inverted shingle index.
+
+    explode(shingles) → self-join on shingle → per-pair intersection count
+    → jaccard from |A|,|B|,|A∩B|.  The join key is the shingle, so only
+    documents sharing at least one shingle ever meet (candidate pruning);
+    output carries integer inter/union so comparisons are engine-exact.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles(text_col, n)).alias("n_sh"),
+        F.explode(shingles(text_col, n)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+    )
+    return pairs.filter(F.col("inter") >= F.col("uni") * threshold).select(
+        "id_a", "id_b", "inter", "uni"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(i, shingle).  Pure column expressions — the min-per-seed runs
+    inside one projection over the shingle array (no explode, no shuffle).
+    """
+    sh = shingles(text_col, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs: band the signature, bucket-join on
+    (band_idx, band_hash), verify candidates with exact jaccard over the
+    shingle sets.
+
+    Shuffle profile: one explode to (doc × bands) rows, one shuffled join
+    keyed by band hash — the only all-to-all step, and its key space is
+    uniform because band hashes are hashes.  Candidate verification joins
+    back to the (small) candidate set — broadcast when it fits.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact-jaccard verification of the candidate set
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("sh", "sh_a"), cand.id_a == F.col("id"))
+        .drop("id")
+        .join(sh.withColumnRenamed("sh", "sh_b"), cand.id_b == F.col("id"))
+        .drop("id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .filter(F.col("inter") >= F.col("uni") * threshold)
+    )
+    return verified.select("id_a", "id_b", "inter", "uni")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per token hash, each bit votes ±1; the sign of the
+    per-bit sum forms the fingerprint.  Declarative formulation: explode
+    tokens → 64 conditional sums → reassemble bits.  One shuffle (the
+    group-by on id) with map-side partial aggregation."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    chunks — any pair within hamming distance 3 shares at least one exact
+    chunk (pigeonhole) — bucket-join per chunk, verify with popcount."""
+    fps = simhash(df, id_col, text_col)
+    chunked = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    cand = (
+        chunked.alias("x")
+        .join(
+            chunked.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_left: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force within an id window).
+
+    Cosine is computed with zip_with + aggregate on pre-normalized vectors
+    — all JVM-side.  Brute force is the correctness baseline; the scale
+    path is ``similarity.lsh_buckets`` which cuts the candidate space
+    before this exact check.
+    """
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: (x / norm(F.col(vec_col))).cast("double")).alias("v"),
+    )
+    left = vecs if max_left is None else vecs.filter(F.col("id") < max_left)
+    pairs = left.alias("a").join(
+        vecs.alias("b"), F.col("a.id") < F.col("b.id"), "inner"
+    )
+    cos = dot(F.col("a.v"), F.col("b.v"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def cluster_dedup_keep(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
+    """Resolve near-dup pairs into kept rows: treat id_a<id_b edges as
+    "b duplicates a" and keep ids never appearing on the b side (one
+    anti-join; a union-find would chase chains, rarely needed for dedup).
+    """
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return all_ids.join(dropped, "id", "left_anti")

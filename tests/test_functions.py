@@ -1,0 +1,250 @@
+"""Tests for dedup / similarity / textstats / multimodal, including the
+hash-based operators that have no driver-side SQL oracle (planted-duplicate
+fixtures + an independent DuckDB implementation of the full pipeline)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oplog_analyzer_spark.functions import dedup as D
+from oplog_analyzer_spark.functions import multimodal as M
+from oplog_analyzer_spark.functions import similarity as S
+from oplog_analyzer_spark.functions import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different text about spark shuffle partitions and joins"),
+        (4, "  THE  quick   brown fox jumps over the lazy dog near the old river bank "),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["dup_count"] for r in D.exact_dedup(docs).collect()}
+    # 0, 1 and 4 normalize to the same text → keep 0, count 3
+    assert out[0] == 3
+    assert out[2] == 1 and out[3] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # identical
+    assert (0, 2) in pairs  # one word changed
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_jaccard_estimate_matches_exact(docs):
+    """The verified inter/uni from the LSH path equals exact shingle-set
+    jaccard (the LSH part only prunes candidates, never changes values)."""
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in D.minhash_lsh_pairs(docs, threshold=0.1).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    for k, v in got.items():
+        assert exact[k] == v
+
+
+def test_simhash_near_dup(spark):
+    # simhash needs enough tokens for per-bit majority votes to be stable;
+    # one word changed out of ~50 → hamming ≈ 1, unrelated doc ≈ 28
+    base = " ".join(
+        [
+            "the quick brown fox jumps over the lazy dog near the old river bank",
+            "and the wind moves slowly across the quiet green valley floor",
+            "while distant birds call from tall pine trees beyond the ridge",
+            "as evening light settles gently over the small sleeping town",
+        ]
+    )
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, "completely different text about spark shuffle partitions and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical fingerprint
+    assert pairs[(0, 2)] <= 3  # one-word change → tiny hamming distance
+    assert not any(3 in p for p in pairs)
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(16)
+    rows = [
+        (0, [float(x) for x in v]),
+        (1, [float(x) for x in (v + 0.01 * rng.standard_normal(16))]),  # near dup
+        (2, [float(x) for x in rng.standard_normal(16)]),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_brute_force_topk_and_lsh_recall(spark):
+    rng = np.random.default_rng(42)
+    mat = rng.standard_normal((300, 64))
+    mat[7] = mat[3] + 0.01 * rng.standard_normal(64)  # planted neighbor pair
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    bf = S.top1_neighbor(df, max_queries=20)
+    got = {r["q_id"]: r["nn_id"] for r in bf.collect()}
+    assert got[3] == 7  # planted pair is each other's top-1
+    assert len(got) == 20
+
+    # LSH path: planted near-identical pair lands in the same bucket and
+    # survives the re-rank; recall over random vectors is approximate by
+    # design, so only the planted pair is asserted
+    lsh = S.lsh_bucket_topk(df, k=1, n_planes=8, dim=64)
+    lsh_nn = {r["q_id"]: r["c_id"] for r in lsh.collect()}
+    assert lsh_nn.get(3) == 7 and lsh_nn.get(7) == 3
+
+
+def test_cluster_dedup_keep(spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 4), (2, 5)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    kept = sorted(r["id"] for r in D.cluster_dedup_keep(pairs, ids).collect())
+    assert kept == [0, 2, 3]
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat is on the mat, happily!"), (1, "le chat est dans la maison"), (2, "xyzzy")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in TS.quality_score(df).collect()}
+    assert q[0]["n_tokens"] == 7
+    assert q[0]["n_punct"] == 2  # comma + exclamation
+    lang = {r["doc_id"]: r["lang_guess"] for r in TS.language_id(df).collect()}
+    assert lang[0] == "en" and lang[1] == "fr" and lang[2] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "  hello world "), (2, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in TS.fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i), "en", f"src{i}", 10 + i) for i in range(9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assets = M.build_assets(docs)
+    assert dict(assets.dtypes)["payload"] == "binary"
+    decoded = M.decode_assets(assets)
+    rows = {r["asset_id"]: r for r in decoded.collect()}
+    assert len(rows) == 9
+    for i, r in rows.items():
+        assert r["byte_len"] == 10 + i
+        assert r["ok"]
+        if r["kind"] == "audio":
+            assert r["n_frames"] == 0
+        if r["kind"] == "image":
+            assert r["n_frames"] == 1
+    samples = M.frame_sample(decoded, every_n=2).collect()
+    vids = [r for r in rows.values() if r["kind"] == "video"]
+    expected = sum(len(range(0, r["n_frames"], 2)) for r in vids)
+    assert len(samples) == expected
+
+
+def test_decode_real_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        M._decode_real(b"bytes", "image")
+
+
+def test_pipeline_aggregates_vs_duckdb(spark, transcripts, tmp_path):
+    """Independent DuckDB re-implementation of parse→unwind→route→aggregate
+    compared against the Spark pipeline output — the strongest whole
+    -pipeline oracle (complements the driver's per-operator checks)."""
+    from oplog_analyzer_spark.operators.filters import exclude_system_namespaces
+    from oplog_analyzer_spark.operators.parse import parse_transcripts, unwind_applyops
+    from oplog_analyzer_spark.sources.sinks import per_sink_aggregates, route_categories
+    from oplog_analyzer_spark.transcripts import tool_catalog
+
+    src = str(tmp_path / "t.parquet")
+    transcripts.write.mode("overwrite").parquet(src)
+    inp = spark.read.parquet(src)
+    cat = tool_catalog(spark)
+    got = (
+        per_sink_aggregates(
+            route_categories(
+                unwind_applyops(exclude_system_namespaces(parse_transcripts(inp))), cat
+            )
+        )
+        .orderBy("category", "ns")
+        .toPandas()
+    )
+
+    con = duckdb.connect()
+    con.register("cat", cat.toPandas())
+    sql = rf"""
+WITH parsed AS (
+  SELECT conv_id, turn_idx, tool, ts,
+         regexp_extract(text, 'ns=([a-zA-Z0-9_.$]+)', 1) AS ns,
+         regexp_extract(text, 'op:([iudcn])', 1) AS op,
+         CAST(strlen(text) AS BIGINT) AS size,
+         regexp_extract(text, 'sub:(\S+)', 1) AS sub
+  FROM read_parquet('{src}/*.parquet')
+), filtered AS (
+  SELECT * FROM parsed WHERE ns NOT LIKE 'config.%'
+), unwound AS (
+  SELECT conv_id, turn_idx, tool, ts, ns, op, size
+  FROM filtered WHERE NOT (op = 'c' AND sub <> '')
+  UNION ALL
+  SELECT conv_id, turn_idx, tool, ts,
+         string_split(u.s, '/')[1] AS ns,
+         string_split(u.s, '/')[2] AS op,
+         CAST(floor(size / len(string_split(sub, ';'))) AS BIGINT) AS size
+  FROM filtered, unnest(string_split(sub, ';')) AS u(s)
+  WHERE op = 'c' AND sub <> ''
+), routed AS (
+  SELECT w.*, coalesce(c.category, 'uncat') AS category
+  FROM unwound w LEFT JOIN cat c ON w.tool = c.tool
+)
+SELECT category, ns, count(*) AS op_count,
+       sum(CASE WHEN op='i' THEN 1 ELSE 0 END) AS n_insert,
+       sum(CASE WHEN op='u' THEN 1 ELSE 0 END) AS n_update,
+       sum(CASE WHEN op='d' THEN 1 ELSE 0 END) AS n_delete,
+       sum(CASE WHEN op='c' THEN 1 ELSE 0 END) AS n_command,
+       count(DISTINCT conv_id) AS distinct_conv,
+       min(ts) AS min_ts, max(ts) AS max_ts, sum(size) AS total_bytes
+FROM routed GROUP BY category, ns ORDER BY category, ns
+"""
+    want = con.execute(sql).df()
+    assert len(got) == len(want)
+    for col in ("category", "ns"):
+        assert got[col].astype(str).tolist() == want[col].astype(str).tolist(), col
+    for col in ("op_count", "n_insert", "n_update", "n_delete", "n_command",
+                "distinct_conv", "total_bytes"):
+        # duckdb sums come back as HUGEINT → float64 in pandas; compare as int
+        assert got[col].astype("int64").tolist() == want[col].astype("int64").tolist(), col
