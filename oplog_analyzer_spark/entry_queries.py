@@ -777,9 +777,9 @@ FROM documents
 )
 def mm_decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing (mapInPandas over binary payloads); the
-    deterministic stub makes the Arrow batch path SQL-checkable.  Note the
-    kind cycle: doc_id%3 = 0→audio? no — element_at(arr, pmod+1):
-    0→image? see functions/multimodal.py; oracle mirrors the same cycle."""
+    deterministic stub makes the Arrow batch path SQL-checkable.  Kind
+    cycle (functions/multimodal.py): doc_id%3 → 0 image, 1 audio, 2 video;
+    the oracle mirrors it."""
     from .functions.multimodal import build_assets, decode_assets
 
     docs = load_table(spark, sf_dir, "documents")
@@ -803,6 +803,31 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(decode_assets(build_assets(docs)), every_n=6)
+
+
+@_q(
+    "p10_humanize_bytes",
+    _OPLOG_CTE
+    + """
+SELECT ns, total_size,
+       CASE WHEN total_size < 1024 THEN total_size || ' B'
+            WHEN total_size < 1048576 THEN printf('%.1f KB', total_size / 1024.0)
+            WHEN total_size < 1073741824 THEN printf('%.1f MB', total_size / 1048576.0)
+            ELSE printf('%.1f GB', total_size / 1073741824.0) END AS human_size
+FROM (SELECT ns, sum(size * 997) AS total_size FROM oplog GROUP BY ns)
+""",
+)
+def p10_humanize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — byte humanization (EntryAccumulator.java:130-140); sizes
+    scaled ×997 so the KB/MB branches are exercised."""
+    from .operators.display import humanize_bytes
+
+    agg = (
+        _oplogify(spark, sf_dir)
+        .groupBy("ns")
+        .agg(F.sum(F.col("size") * 997).alias("total_size"))
+    )
+    return agg.select("ns", "total_size", humanize_bytes("total_size").alias("human_size"))
 
 
 # --- rows-only entries (hash-based / pipeline ops with no clean ANSI-SQL

@@ -177,13 +177,54 @@ def unwind_applyops(df: DataFrame) -> DataFrame:
             )
         )
     )
-    exploded = df.withColumn("_inner", F.explode(inner_arr))
+    # materialize the array in its own Project first: the expression then
+    # runs inside whole-stage codegen and Generate only explodes a ready
+    # column (embedding the CASE/transform in explode() evaluates it in the
+    # interpreted Generate node)
+    exploded = df.withColumn("_arr", inner_arr).withColumn(
+        "_inner", F.explode("_arr")
+    )
     return (
         exploded.withColumn("ns", F.col("_inner.ns"))
         .withColumn("op", F.col("_inner.op"))
         .withColumn("size", F.col("_inner.size"))
-        .drop("_inner")
+        .drop("_arr", "_inner")
     )
+
+
+def conditional_id(
+    df: DataFrame,
+    op_col: str = "op",
+    o2_id_col: str = "o2_id",
+    o_id_col: str = "o_id",
+    update_op: str = "u",
+) -> DataFrame:
+    """P1 — _id source selection: updates carry the id in o2, everything
+    else in o (BaseOplogCommand.java:132-147)."""
+    return df.withColumn(
+        "id",
+        F.when(F.col(op_col) == update_op, F.col(o2_id_col)).otherwise(F.col(o_id_col)),
+    )
+
+
+@pandas_udf(StringType())
+def redact_diff(text: pd.Series) -> pd.Series:
+    """P6 — debug redaction: replace the embedded diff JSON with a
+    ``<doc: n fields, m elements, b bytes>`` summary
+    (TailCommand.java:1179-1254).  Debug-surface only."""
+    blocks = text.str.extract(_DIFF_RE, expand=False)
+    out = text.copy()
+    mask = blocks.notna()
+    if mask.any():
+
+        def summarize(s: str) -> str:
+            d = json.loads(s)
+            return f"<doc: {len(d)} fields, {_count_elements(d)} elements, {len(s)} bytes>"
+
+        repl = blocks[mask].map(summarize)
+        for idx in repl.index:
+            out[idx] = out[idx].replace("diff=" + blocks[idx], "diff=" + repl[idx])
+    return out
 
 
 def split_namespace(df: DataFrame, ns_col: str = "ns") -> DataFrame:

@@ -34,6 +34,11 @@ _SCALE_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
+    # local mode runs every task thread in the driver JVM; the 1g default
+    # heap thrashes GC as soon as tens of tasks run concurrently (measured
+    # 8x slowdown at local[32]).  On a cluster, spark-submit overrides.
+    "spark.driver.memory": "48g",
+    "spark.driver.maxResultSize": "4g",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
 }
@@ -51,6 +56,17 @@ def get_spark(
     sandbox; on a cluster, pass ``None`` with a pre-configured environment and
     the builder inherits spark-submit's master.
     """
+    # Executor Python workers must be able to import this package (the
+    # pandas UDFs pickle by reference).  Local mode: workers inherit the
+    # driver env, so extend PYTHONPATH; cluster mode: ship the package with
+    # spark-submit --py-files (see tools/make_pyfiles.py).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+        )
+
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -38,11 +38,23 @@ def route_categories(
     )
 
 
-def write_routed(df: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+def write_routed(
+    df: DataFrame, out_dir: str, mode: str = "overwrite",
+    target_partitions: int | None = None,
+) -> None:
     """S6 — fan-out sink: one directory per category, per-task parquet
     writers (the scale path for 10^12 rows — each task streams to its own
     files, exactly the reference's one-file-per-shard contention dodge,
-    TailCommand.java:276-292)."""
+    TailCommand.java:276-292).
+
+    File count is tasks × categories; when the upstream has many small
+    partitions, pass ``target_partitions`` to coalesce first — shuffle-free
+    (merges map tasks), bounding the small-file count without moving the
+    payload bytes (the local-mode stand-in for Iceberg's
+    write.distribution-mode / maxRecordsPerFile).
+    """
+    if target_partitions:
+        df = df.coalesce(target_partitions)
     df.write.mode(mode).partitionBy("category").parquet(out_dir)
 
 
@@ -50,17 +62,30 @@ def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-def per_sink_aggregates(routed: DataFrame) -> DataFrame:
+def per_sink_aggregates(routed: DataFrame, exact_distinct: bool = True) -> DataFrame:
     """S7 analog — per-sink aggregate report (north_star): per (category,
     ns): op counts, distinct conv_id, min/max ts.  Mirrors the
-    OplogTailingAnalyzer accumulator report keyed by routing target."""
+    OplogTailingAnalyzer accumulator report keyed by routing target.
+
+    ``exact_distinct=True`` is the correctness-gate form: exact
+    countDistinct shuffles (category, ns, conv_id) — fine on a cluster
+    where the shuffle spreads over every executor's disk/NIC.
+    ``exact_distinct=False`` swaps in approx_count_distinct (HLL++, 2%
+    rsd): partial sketches merge map-side, so the shuffle carries only
+    sketch bytes per group — the form a 10^12-turn run uses.
+    """
+    distinct = (
+        F.countDistinct("conv_id")
+        if exact_distinct
+        else F.approx_count_distinct("conv_id", 0.02)
+    )
     return routed.groupBy("category", "ns").agg(
         F.count(F.lit(1)).alias("op_count"),
         F.sum(F.when(F.col("op") == "i", 1).otherwise(0)).alias("n_insert"),
         F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_update"),
         F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_delete"),
         F.sum(F.when(F.col("op") == "c", 1).otherwise(0)).alias("n_command"),
-        F.countDistinct("conv_id").alias("distinct_conv"),
+        distinct.alias("distinct_conv"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
         F.sum("size").alias("total_bytes"),

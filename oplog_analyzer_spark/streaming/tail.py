@@ -1,0 +1,131 @@
+"""Structured-Streaming tail analog (T1–T8).
+
+The reference tails the oplog with a blocking tailable-await cursor per
+shard (TailCommand.java:534-547), accumulating per-(ns,op) stats in memory
+and reporting every 30 s (TailCommand.java:750-763).  Spark mapping:
+
+  T1 unbounded source   → file-source readStream on the transcript
+                          directory (new files = new oplog entries); on a
+                          real deployment the same code binds to a Kafka /
+                          Iceberg-streaming source — only ``readStream``
+                          changes.
+  T2 start offset       → checkpointed source offsets (startingTimestamp
+                          analog); Spark tracks them per file/partition.
+  T3 heartbeat          → StreamingQueryProgress + the metrics sink written
+                          by foreachBatch.
+  T5 graceful drain     → query.stop() + idempotent final aggregate from
+                          the cumulative state table.
+  T6 stateful op        → cumulative aggregates maintained exactly by
+                          re-aggregating the per-batch partials (counts/
+                          sums/mins/maxes merge associatively — the same
+                          algebra as EntryAccumulator.merge(),
+                          EntryAccumulator.java:210-228).
+  T8 resume             → the stream checkpoint directory; the reference
+                          has no cross-restart resume (TailCommand.java:540)
+                          — this is the north_rule extension.
+
+``Trigger.AvailableNow`` drains everything present and stops — giving the
+bounded-prefix semantics the reference produces at each report, and making
+the operation testable and idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.filters import exclude_system_namespaces
+from ..operators.parse import parse_transcripts
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+class TailStream:
+    """Incrementally tail a growing transcript directory, maintaining the
+    cumulative ns::op accumulator report across micro-batches."""
+
+    def __init__(self, spark: SparkSession, input_dir: str, work_dir: str) -> None:
+        self.spark = spark
+        self.input_dir = input_dir
+        self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
+        self.partials_dir = os.path.join(work_dir, "partials")
+        self.metrics_dir = os.path.join(work_dir, "metrics")
+
+    def _source(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(self.input_dir)
+        )
+
+    def _batch_aggregate(self, batch: DataFrame) -> DataFrame:
+        """Per-batch partial of the A1 accumulator — merge-safe columns
+        only (count/total/min/max; avg derived at read time)."""
+        parsed = exclude_system_namespaces(
+            parse_transcripts(batch, with_diff_stats=False)
+        )
+        return parsed.groupBy("ns", "op").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum("size").alias("total_size"),
+            F.min("size").alias("min_size"),
+            F.max("size").alias("max_size"),
+            F.max("ts").alias("latest_ts"),
+        )
+
+    def run_available(self) -> None:
+        """Drain all currently-available input (Trigger.AvailableNow), then
+        stop — one resumable increment of the unbounded tail."""
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            agg = self._batch_aggregate(batch).withColumn("batch_id", F.lit(batch_id))
+            agg.write.mode("append").parquet(self.partials_dir)
+            # T3 heartbeat record: rows + lag proxy per batch
+            batch.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.max("ts").alias("latest_ts"),
+            ).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                self.metrics_dir
+            )
+
+        q = (
+            self._source()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def report(self) -> DataFrame:
+        """Cumulative A1 report: final merge of all batch partials — the
+        same partial/final algebra as the reference's mergeShardResults
+        (TailCommand.java:1103-1146), with floor-avg display parity."""
+        partials = self.spark.read.parquet(self.partials_dir)
+        merged = partials.groupBy("ns", "op").agg(
+            F.sum("count").alias("count"),
+            F.sum("total_size").alias("total_size"),
+            F.min("min_size").alias("min_size"),
+            F.max("max_size").alias("max_size"),
+            F.max("latest_ts").alias("latest_ts"),
+        )
+        return merged.withColumn(
+            "avg_size", F.floor(F.col("total_size") / F.col("count")).cast("long")
+        ).orderBy(F.desc("total_size"), "ns", "op")
+
+    def lag_seconds(self, now_ts: str) -> DataFrame:
+        """T4/P8 — lag vs a supplied wallclock (TailCommand.java:1073-1082;
+        max(0, wallclock − latest event ts))."""
+        m = self.spark.read.parquet(self.metrics_dir)
+        return m.agg(
+            F.greatest(
+                F.lit(0).cast("long"),
+                (
+                    F.unix_timestamp(F.lit(now_ts).cast("timestamp"))
+                    - F.unix_timestamp(F.max("latest_ts"))
+                ).cast("long"),
+            ).alias("lag_sec")
+        )

@@ -119,6 +119,32 @@ def test_first_n_distinct_admission(spark):
     assert kept == [("id1", 1), ("id1", 4), ("id2", 2)]
 
 
+def test_conditional_id_extraction(spark):
+    from oplog_analyzer_spark.operators.parse import conditional_id
+
+    df = _mk(
+        spark,
+        [("u", "id_from_o2", "id_from_o"), ("i", "x", "id_from_o")],
+        "op string, o2_id string, o_id string",
+    )
+    got = {r["op"]: r["id"] for r in conditional_id(df).collect()}
+    # updates take o2._id, everything else o._id (BaseOplogCommand.java:132)
+    assert got == {"u": "id_from_o2", "i": "id_from_o"}
+
+
+def test_redact_diff(spark):
+    from oplog_analyzer_spark.operators.parse import redact_diff
+
+    df = _mk(
+        spark,
+        [(0, 'x diff={"a":1,"b":[1,2]} tail'), (1, "no diff here")],
+        "i long, text string",
+    )
+    got = {r["i"]: r["redacted"] for r in df.select("i", redact_diff("text").alias("redacted")).collect()}
+    assert got[0] == "x diff=<doc: 2 fields, 3 elements, 17 bytes> tail"
+    assert got[1] == "no diff here"
+
+
 def test_lookup_enrich_fallback(spark):
     from oplog_analyzer_spark.operators.enrich import lookup_actual_size
 

@@ -1,0 +1,109 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+These assert on .explain output so a regression that silently turns a
+broadcast join into a shuffled sort-merge join, or stops pushing the ts
+filter into the scan, fails CI — the plan IS the product at scale.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from oplog_analyzer_spark import entry_queries as Q
+from oplog_analyzer_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_time_range_filter_pushed_to_scan(spark):
+    plan = plan_of(Q.s2_time_range_scan(spark, SF_SMALL))
+    assert "PushedFilters:" in plan
+    # ts predicates reach the parquet reader
+    assert "GreaterThanOrEqual(ts" in plan and "LessThanOrEqual(ts" in plan
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    plan = plan_of(Q.a1_ns_op_report(spark, SF_SMALL))
+    # ReadSchema must not include the unused props-independent columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_id" not in read_schema
+    assert "ts" not in read_schema
+
+
+def test_broadcast_joins_for_dims(spark):
+    plan = plan_of(Q.j3_broadcast_dims(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]  # the tree section; details repeat names
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_j1_lookup_is_broadcast(spark):
+    plan = plan_of(Q.j1_lookup_enrich(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftOuter" in plan
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = plan_of(Q.a1_ns_op_report(spark, SF_SMALL))
+    # two-phase hash aggregation (the reference's per-thread partial maps +
+    # merge, EntryAccumulator.java:210-228, done by Catalyst)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashAggregate") == 2
+    assert "hashpartitioning(ns" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(Q.a6_top_ids(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = Q.a1_ns_op_report(spark, SF_SMALL)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = plan_of(df)
+    assert "codegen id" in plan  # agg/project run inside WholeStageCodegen
+
+
+def test_routing_join_is_broadcast(spark, transcripts):
+    from oplog_analyzer_spark.operators.parse import parse_transcripts
+    from oplog_analyzer_spark.sources.sinks import route_categories
+    from oplog_analyzer_spark.transcripts import tool_catalog
+
+    routed = route_categories(parse_transcripts(transcripts), tool_catalog(spark))
+    plan = plan_of(routed)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one ArrowEvalPython stage: all pandas UDFs batched together
+    assert tree.count("ArrowEvalPython") == 1
+
+
+def test_parse_filter_pushdown_before_udf(spark, tmp_path):
+    """The config-namespace exclusion must run below the Python UDF stage so
+    excluded rows never cross the Arrow boundary."""
+    from oplog_analyzer_spark.operators.filters import exclude_system_namespaces
+    from oplog_analyzer_spark.operators.parse import parse_transcripts
+
+    src = str(tmp_path / "p.parquet")
+    from oplog_analyzer_spark.transcripts import generate_transcripts
+
+    generate_transcripts(spark, num_conversations=10).write.parquet(src)
+    df = exclude_system_namespaces(parse_transcripts(spark.read.parquet(src)))
+    plan = plan_of(df)
+    arrow_pos = plan.index("ArrowEvalPython")
+    # the Filter node evaluating the ns regex sits below (after in the tree
+    # listing) the Arrow stage — i.e. executes first
+    filter_lines = [
+        l for l in plan.splitlines() if "Filter" in l and "Condition" not in l
+    ]
+    assert filter_lines, plan
+    assert "StartsWith" in plan

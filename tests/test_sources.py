@@ -1,0 +1,72 @@
+"""Framed binary source (S3), stats JSON roundtrip (S7/S9/J2), display
+helpers (P10/S8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oplog_analyzer_spark.operators.display import console_report, humanize_bytes
+from oplog_analyzer_spark.sources.framed import read_framed, write_framed_file
+from oplog_analyzer_spark.sources.stats_json import (
+    join_stats,
+    read_stats_json,
+    write_stats_json,
+)
+
+
+def test_framed_roundtrip_plain_and_gzip(spark, tmp_path):
+    payloads_a = [b"hello", b"world doc here", b"x" * 100]
+    payloads_b = [b"other shard data!", b"12345"]
+    write_framed_file(str(tmp_path / "oplog_rs0.bin"), payloads_a, compress=False)
+    write_framed_file(str(tmp_path / "oplog_rs1.bin.gz"), payloads_b, compress=True)
+
+    df = read_framed(spark, str(tmp_path / "*.bin*"))
+    rows = df.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["seq"], bytes(r["payload"])))
+    assert sorted(by_shard) == ["rs0", "rs1"]
+    assert [p for _, p in sorted(by_shard["rs0"])] == payloads_a
+    assert [p for _, p in sorted(by_shard["rs1"])] == payloads_b  # gzip transparent
+
+
+def test_framed_rejects_bad_frame(spark, tmp_path):
+    # frame below the 5-byte sanity floor (BaseOplogCommand.java:347)
+    write_framed_file(str(tmp_path / "bad_rs9.bin"), [b"abc"])
+    with pytest.raises(Exception, match="invalid frame size"):
+        read_framed(spark, str(tmp_path / "bad_rs9.bin")).collect()
+
+
+def test_stats_json_roundtrip_and_join(spark, tmp_path):
+    report = spark.createDataFrame(
+        [("s0", 100, 5000), ("s1", 200, 9000)], "shard string, count long, bytes long"
+    )
+    out = str(tmp_path / "stats")
+    write_stats_json(report, out)
+    loaded = read_stats_json(spark, out)
+    assert {(r["shard"], r["count"], r["bytes"]) for r in loaded.collect()} == {
+        ("s0", 100, 5000), ("s1", 200, 9000),
+    }
+    # J2: authoritative stats override sample-derived values where present
+    facts = spark.createDataFrame(
+        [("s0", 1, "a"), ("s2", 2, "b")], "shard string, count long, label string"
+    )
+    joined = {r["shard"]: r["count"] for r in join_stats(facts, loaded, ["shard"]).collect()}
+    assert joined == {"s0": 100, "s2": 2}  # s0 replaced, s2 falls back
+
+
+def test_humanize_bytes(spark):
+    df = spark.createDataFrame(
+        [(500,), (2048,), (3 * 1024 * 1024,), (5 * 1024**3,)], "b long"
+    )
+    got = [r["h"] for r in df.select(humanize_bytes("b").alias("h")).collect()]
+    assert got == ["500 B", "2.0 KB", "3.0 MB", "5.0 GB"]
+
+
+def test_console_report(spark):
+    df = spark.createDataFrame([("a.b", 10), ("c.d", 5)], "ns string, count long")
+    text = console_report(df.orderBy(F.desc("count")))
+    lines = text.splitlines()
+    assert lines[0].split() == ["ns", "count"]
+    assert "a.b" in lines[2] and "c.d" in lines[3]

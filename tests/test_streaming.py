@@ -1,0 +1,66 @@
+"""Streaming tail analog: incremental drain equals batch recompute, and new
+files arriving between runs are picked up exactly once (resume via stream
+checkpoint — the T8 extension the reference lacks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oplog_analyzer_spark import transcripts as T
+from oplog_analyzer_spark.operators.aggregate import ns_op_report
+from oplog_analyzer_spark.operators.filters import exclude_system_namespaces
+from oplog_analyzer_spark.operators.parse import parse_transcripts
+from oplog_analyzer_spark.streaming.tail import TailStream
+
+
+def _expected_report(spark, input_dir):
+    df = spark.read.parquet(input_dir)
+    parsed = exclude_system_namespaces(parse_transcripts(df, with_diff_stats=False))
+    return {
+        (r["ns"], r["op"]): (r["count"], r["total_size"], r["min_size"], r["max_size"], r["avg_size"])
+        for r in ns_op_report(parsed).collect()
+    }
+
+
+def test_tail_incremental_equals_batch(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    first = T.generate_transcripts(spark, num_conversations=60, seed=42)
+    first.coalesce(2).write.mode("append").parquet(input_dir)
+
+    tail = TailStream(spark, input_dir, str(tmp_path / "wd"))
+    tail.run_available()
+    got1 = {
+        (r["ns"], r["op"]): (r["count"], r["total_size"], r["min_size"], r["max_size"], r["avg_size"])
+        for r in tail.report().collect()
+    }
+    assert got1 == _expected_report(spark, input_dir)
+
+    # new data arrives (different seed → different rows); second drain must
+    # consume ONLY the new files (checkpointed offsets) yet the cumulative
+    # report equals a full batch recompute
+    more = T.generate_transcripts(spark, num_conversations=40, seed=99)
+    more.coalesce(2).write.mode("append").parquet(input_dir)
+    tail.run_available()
+    got2 = {
+        (r["ns"], r["op"]): (r["count"], r["total_size"], r["min_size"], r["max_size"], r["avg_size"])
+        for r in tail.report().collect()
+    }
+    assert got2 == _expected_report(spark, input_dir)
+    assert sum(v[0] for v in got2.values()) > sum(v[0] for v in got1.values())
+
+    # heartbeat metrics recorded per micro-batch (T3)
+    m = spark.read.parquet(tail.metrics_dir)
+    assert m.count() >= 2
+    assert m.agg(F.sum("rows")).collect()[0][0] == spark.read.parquet(input_dir).count()
+
+
+def test_tail_lag_metric(spark, tmp_path):
+    input_dir = str(tmp_path / "in2")
+    T.generate_transcripts(spark, num_conversations=10).coalesce(1).write.parquet(input_dir)
+    tail = TailStream(spark, input_dir, str(tmp_path / "wd2"))
+    tail.run_available()
+    lag = tail.lag_seconds("2025-06-01 00:00:00").collect()[0]["lag_sec"]
+    assert lag > 0
+    # wallclock before every event → clamped to 0 (TailCommand.java:1073)
+    lag0 = tail.lag_seconds("2020-01-01 00:00:00").collect()[0]["lag_sec"]
+    assert lag0 == 0
