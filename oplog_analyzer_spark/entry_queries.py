@@ -89,7 +89,7 @@ def _q(name: str, oracle: str | None = None):
     "a1_ns_op_report",
     _OPLOG_CTE
     + """
-SELECT ns, op, count(*) AS count, sum(size) AS total_size,
+SELECT ns, op, count(*) AS count, CAST(sum(size) AS BIGINT) AS total_size,
        min(size) AS min_size, max(size) AS max_size,
        CAST(floor(sum(size) / count(*)) AS BIGINT) AS avg_size
 FROM oplog GROUP BY ns, op
@@ -103,11 +103,11 @@ def a1_ns_op_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a3_threshold_buckets",
     _OPLOG_CTE
     + """
-SELECT ns, op, count(*) AS count, sum(size) AS total_size,
+SELECT ns, op, count(*) AS count, CAST(sum(size) AS BIGINT) AS total_size,
        min(size) AS min_size, max(size) AS max_size,
-       sum(CASE WHEN size > 8 THEN 1 ELSE 0 END) AS gt_8,
-       sum(CASE WHEN size > 9 THEN 1 ELSE 0 END) AS gt_9,
-       sum(CASE WHEN size > 10 THEN 1 ELSE 0 END) AS gt_10,
+       CAST(sum(CASE WHEN size > 8 THEN 1 ELSE 0 END) AS BIGINT) AS gt_8,
+       CAST(sum(CASE WHEN size > 9 THEN 1 ELSE 0 END) AS BIGINT) AS gt_9,
+       CAST(sum(CASE WHEN size > 10 THEN 1 ELSE 0 END) AS BIGINT) AS gt_10,
        CAST(floor(sum(size) / count(*)) AS BIGINT) AS avg_size
 FROM oplog GROUP BY ns, op
 """,
@@ -148,7 +148,7 @@ def a4_conditional_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_id_stats",
     _OPLOG_CTE
     + """
-SELECT ns, id, count(*) AS count, sum(size) AS total_oplog_size,
+SELECT ns, id, count(*) AS count, CAST(sum(size) AS BIGINT) AS total_oplog_size,
        min(size) AS min_oplog_size, max(size) AS max_oplog_size
 FROM oplog GROUP BY ns, id
 """,
@@ -162,7 +162,7 @@ def a5_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _OPLOG_CTE
     + """
 SELECT ns, id, count, total_oplog_size, min_oplog_size, max_oplog_size FROM (
-  SELECT ns, id, count(*) AS count, sum(size) AS total_oplog_size,
+  SELECT ns, id, count(*) AS count, CAST(sum(size) AS BIGINT) AS total_oplog_size,
          min(size) AS min_oplog_size, max(size) AS max_oplog_size
   FROM oplog GROUP BY ns, id
 ) ORDER BY count DESC, ns ASC, id ASC LIMIT 20
@@ -178,7 +178,7 @@ def a6_top_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a8_grouping_sets",
     _OPLOG_CTE
     + """
-SELECT shard, ns, op, count(*) AS count, sum(size) AS total_size,
+SELECT shard, ns, op, count(*) AS count, CAST(sum(size) AS BIGINT) AS total_size,
        min(size) AS min_size, max(size) AS max_size
 FROM oplog GROUP BY GROUPING SETS ((shard, ns, op), (ns, op))
 """,
@@ -193,7 +193,7 @@ def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a10_update_frequency",
     _OPLOG_CTE
     + """
-SELECT ns, id, count(*) AS update_count, sum(size) AS total_size,
+SELECT ns, id, count(*) AS update_count, CAST(sum(size) AS BIGINT) AS total_size,
        min(size) AS min_size, max(size) AS max_size
 FROM oplog WHERE op = 'u' GROUP BY ns, id
 """,
@@ -217,7 +217,8 @@ def a10_update_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ORDER BY op_cnt DESC, op DESC) AS rk
   FROM per_op
 )
-SELECT shard, ns, sum(op_cnt) AS op_count, sum(op_bytes) AS total_bytes,
+SELECT shard, ns, CAST(sum(op_cnt) AS BIGINT) AS op_count,
+       CAST(sum(op_bytes) AS BIGINT) AS total_bytes,
        min(op_min) AS min_size, max(op_max) AS max_size,
        max(CASE WHEN rk = 1 THEN op END) AS dominant_op
 FROM ranked GROUP BY shard, ns
@@ -237,7 +238,8 @@ SELECT ns, ops, total_bytes,
        CASE WHEN total_bytes * 1.0 / ops > 9.4 THEN 'heavy-updates'
             WHEN ops > 100 AND total_bytes * 1.0 / ops < 9.2 THEN 'frequent-small'
             ELSE 'mixed' END AS pattern
-FROM (SELECT ns, count(*) AS ops, sum(size) AS total_bytes FROM oplog GROUP BY ns)
+FROM (SELECT ns, count(*) AS ops, CAST(sum(size) AS BIGINT) AS total_bytes
+      FROM oplog GROUP BY ns)
 """,
 )
 def a12_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,7 +255,8 @@ def a12_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     _OPLOG_CTE
     + """
 , per_shard AS (
-  SELECT shard, count(*) AS ops, sum(size) AS bytes FROM oplog GROUP BY shard
+  SELECT shard, count(*) AS ops, CAST(sum(size) AS BIGINT) AS bytes
+  FROM oplog GROUP BY shard
 )
 SELECT shard, ops, bytes,
        round((ops - avg(ops) OVER ()) / avg(ops) OVER () * 100.0, 4) AS ops_deviation_pct,
@@ -277,7 +280,7 @@ def a13_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     _OPLOG_CTE
     + """
 , per AS (
-  SELECT ns, shard, count(*) AS ops, sum(size) AS bytes,
+  SELECT ns, shard, count(*) AS ops, CAST(sum(size) AS BIGINT) AS bytes,
          count(DISTINCT id) AS unique_ids
   FROM oplog GROUP BY ns, shard
 )
@@ -302,7 +305,7 @@ def a14_cross_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a15_global_counters",
     _OPLOG_CTE
     + """
-SELECT count(*) AS total_docs, sum(size) AS total_bytes,
+SELECT count(*) AS total_docs, CAST(sum(size) AS BIGINT) AS total_bytes,
        max(size) AS largest_doc,
        (SELECT ns FROM oplog ORDER BY size DESC, ns DESC LIMIT 1) AS largest_doc_ns
 FROM oplog
@@ -320,7 +323,8 @@ def a15_global_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT shard, ops, bytes,
        CASE WHEN bytes * 1.0 / ops > 9.3 THEN 'heavy' ELSE 'light' END AS workload_class
-FROM (SELECT shard, count(*) AS ops, sum(size) AS bytes FROM oplog GROUP BY shard)
+FROM (SELECT shard, count(*) AS ops, CAST(sum(size) AS BIGINT) AS bytes
+      FROM oplog GROUP BY shard)
 """,
 )
 def a16_workload_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,7 +730,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "emb_top1_nn",
     """
-SELECT q_id, c_id AS nn_id, round(cosine, 4) AS cosine FROM (
+SELECT q_id, c_id AS nn_id, round(CAST(cosine AS DOUBLE), 4) AS cosine FROM (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          list_cosine_similarity(q.embedding, c.embedding) AS cosine,
          row_number() OVER (
@@ -748,17 +752,20 @@ def emb_top1_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_neardup_pairs",
     """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 300
-  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
 )
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold 0.4 (not the production 0.9) so the driver testdata — whose
+    max pairwise cosine is ~0.51 — yields real rows for the oracle compare
+    instead of a vacuous 0-row pass."""
     from .functions.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.9, max_left=300
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, max_left=300
     )
 
 
@@ -809,12 +816,21 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p10_humanize_bytes",
     _OPLOG_CTE
     + """
+, agg AS (
+  SELECT ns, CAST(sum(size * 997) AS BIGINT) AS total_size FROM oplog GROUP BY ns
+), t AS (
+  SELECT ns, total_size,
+         (total_size * 10 + 512) // 1024 AS kb10,
+         (total_size * 10 + 524288) // 1048576 AS mb10,
+         (total_size * 10 + 536870912) // 1073741824 AS gb10
+  FROM agg
+)
 SELECT ns, total_size,
-       CASE WHEN total_size < 1024 THEN total_size || ' B'
-            WHEN total_size < 1048576 THEN printf('%.1f KB', total_size / 1024.0)
-            WHEN total_size < 1073741824 THEN printf('%.1f MB', total_size / 1048576.0)
-            ELSE printf('%.1f GB', total_size / 1073741824.0) END AS human_size
-FROM (SELECT ns, sum(size * 997) AS total_size FROM oplog GROUP BY ns)
+       CASE WHEN total_size < 1024 THEN CAST(total_size AS VARCHAR) || ' B'
+            WHEN total_size < 1048576 THEN (kb10 // 10) || '.' || (kb10 % 10) || ' KB'
+            WHEN total_size < 1073741824 THEN (mb10 // 10) || '.' || (mb10 % 10) || ' MB'
+            ELSE (gb10 // 10) || '.' || (gb10 % 10) || ' GB' END AS human_size
+FROM t
 """,
 )
 def p10_humanize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:

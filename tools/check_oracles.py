@@ -7,27 +7,27 @@ Usage: python tools/check_oracles.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
 
 
-def normalize(rows, cols):
-    """Sort columns by name, then rows; stringify values stably."""
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+def normalize(df):
+    """Driver-faithful compare: go through pandas (so DuckDB HUGEINT →
+    float64 and similar dtype drift is VISIBLE, exactly as the driver sees
+    it), sort columns by name, stringify raw values — no float re-formatting
+    that would mask a '9909.0' vs '9909' mismatch."""
+    df = df[sorted(df.columns)]
 
     def norm_val(v):
-        if v is None:
+        if v is None or v != v:  # None / NaN / NaT
             return "NULL"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return f"{v:.6g}"
         return str(v)
 
-    out = sorted(tuple(norm_val(r[i]) for i in idx) for r in rows)
-    return [cols[i] for i in idx], out
+    rows = sorted(
+        tuple(norm_val(v) for v in r) for r in df.itertuples(index=False, name=None)
+    )
+    return list(df.columns), [str(t) for t in df.dtypes.tolist()], rows
 
 
 def main() -> int:
@@ -55,26 +55,22 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             failures.append((name, f"spark error: {ex}"))
             print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = con.execute(oracles[name]).df()
         except Exception as ex:
             failures.append((name, f"duckdb error: {ex}"))
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
             continue
-        sc, sv = normalize(srows, scols)
-        oc, ov = normalize(orows, ocols)
+        sc, sdt, sv = normalize(sdf)
+        oc, odt, ov = normalize(odf)
         if sc != oc:
             failures.append((name, f"schema mismatch {sc} vs {oc}"))
             print(f"FAIL  {name}: schema {sc} vs {oc}")
@@ -85,8 +81,11 @@ def main() -> int:
             diff = next((a, b) for a, b in zip(sv, ov) if a != b)
             failures.append((name, f"value mismatch e.g. {diff}"))
             print(f"FAIL  {name}: first differing row {diff}")
+            if sdt != odt:
+                print(f"      dtype drift: spark {sdt} vs oracle {odt}")
         else:
-            print(f"OK    {name}: {len(sv)} rows")
+            tag = "" if sdt == odt else f"  [dtype drift: {sdt} vs {odt}]"
+            print(f"OK    {name}: {len(sv)} rows{tag}")
     print(f"\n{len(failures)} failures / {len(qs)} queries")
     return 1 if failures else 0
 
