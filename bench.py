@@ -30,6 +30,8 @@ HEADLINE_QUERIES = [
     "x1_word_explode",
     "j3_broadcast_dims",
     "w1_topk_per_group",
+    "w4_reassembly_events",
+    "a17_recommendations",
     "tpch_q1",
     "tpch_q3ish",
 ]

@@ -41,7 +41,8 @@ def main() -> None:
         num_batches=args.batches,
         with_diff_stats=not args.no_diff_stats,
     )
-    state = pipe.run(spark.read.parquet(args.input))
+    # file-group plan: zero staging copy, each batch reads only its files
+    state = pipe.run(input_path=args.input)
     pipe.write_final_metrics()
     print(json.dumps({"completed_batches": len(state["completed"])}))
     print(console_report(pipe.final_aggregates(), limit=30))

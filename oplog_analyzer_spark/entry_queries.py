@@ -846,6 +846,320 @@ def p10_humanize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("ns", "total_size", humanize_bytes("total_size").alias("human_size"))
 
 
+# ---------------------------------------------------------------------------
+# P2/P5/P8, F6/F7/F8, J2, W4, O6, A17 — driver-oracled coverage for the
+# operators round 1 left pytest-only (VERDICT r01 "What's missing" #1)
+
+@_q(
+    "p2_normalize_ids",
+    """
+WITH r AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN md5(text)
+              WHEN doc_id % 4 = 1 THEN upper(md5(text))
+              WHEN doc_id % 4 = 2 THEN md5(text) || md5('x' || text)
+              ELSE 'u' || CAST(doc_id AS VARCHAR) END AS raw_id
+  FROM documents
+)
+SELECT doc_id, raw_id,
+       CASE WHEN regexp_full_match(raw_id, '[0-9a-fA-F]{16,}')
+                 AND strlen(raw_id) = 32
+            THEN substr(lower(raw_id), 1, 8) || '-' || substr(lower(raw_id), 9, 4)
+                 || '-' || substr(lower(raw_id), 13, 4) || '-'
+                 || substr(lower(raw_id), 17, 4) || '-' || substr(lower(raw_id), 21, 12)
+            WHEN regexp_full_match(raw_id, '[0-9a-fA-F]{16,}')
+                 AND strlen(raw_id) > 32
+            THEN substr(lower(raw_id), 1, 32) || '...'
+            ELSE raw_id END AS norm_id
+FROM r
+""",
+)
+def p2_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — id normalization dispatch (BaseOplogCommand.java:170-226): four
+    id shapes built from documents (32-hex lower/UPPER → UUID form, 64-hex
+    → truncated display, plain string → pass-through); the oracle re-states
+    the normalization spec in pure string SQL."""
+    from .operators.parse import normalize_id
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = (
+        F.when(did % 4 == 0, F.md5("text"))
+        .when(did % 4 == 1, F.upper(F.md5("text")))
+        .when(did % 4 == 2, F.concat(F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text")))))
+        .otherwise(F.concat(F.lit("u"), did.cast("string")))
+    )
+    return d.select("doc_id", raw.alias("raw_id")).withColumn(
+        "norm_id", normalize_id(F.col("raw_id"))
+    )
+
+
+@_q(
+    "p5_diff_stats",
+    """
+SELECT event_id,
+       CAST(2 + event_id % 3 AS INT) AS diff_fields,
+       CAST((event_id % 5 + 1) + 1 + (event_id % 3) AS INT) AS total_elements
+FROM events
+""",
+)
+def p5_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — update-diff statistics UDF (TailCommand.java:1272-1332) against
+    a diff JSON CONSTRUCTED per row from event_id: f0 = array of
+    (event_id%5+1) ints, g = {x:1}, plus (event_id%3) extra scalar fields.
+    The oracle computes expected counts from the construction parameters —
+    an independent check of the UDF's parse+count, not of JSON echoing."""
+    from .operators.parse import diff_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    ne = (eid % 5 + 1).cast("int")
+    nfx = (eid % 3).cast("int")
+    diff_json = F.concat(
+        F.lit('{"f0":['),
+        F.array_join(F.transform(F.sequence(F.lit(1), ne), lambda i: i.cast("string")), ","),
+        F.lit('],"g":{"x":1}'),
+        F.when(
+            nfx >= 1,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), nfx),
+                    lambda i: F.concat(F.lit(',"e'), i.cast("string"), F.lit('":1')),
+                ),
+                "",
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return ev.select("event_id", diff_stats(diff_json).alias("d")).select(
+        "event_id",
+        F.col("d.diff_fields").alias("diff_fields"),
+        F.col("d.total_elements").alias("total_elements"),
+    )
+
+
+@_q(
+    "f6_id_stats_threshold",
+    _OPLOG_CTE
+    + """
+SELECT ns, id, count(*) AS count, CAST(sum(size) AS BIGINT) AS total_oplog_size,
+       min(size) AS min_oplog_size, max(size) AS max_oplog_size
+FROM oplog WHERE size >= 9 GROUP BY ns, id
+""",
+)
+def f6_id_stats_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — the second, independent threshold gating the per-id stats
+    branch (IdStatisticsManager.java:70-72; two-threshold system,
+    reference README.md:412-431)."""
+    from .operators.filters import id_stats_threshold
+
+    return A.id_stats(id_stats_threshold(_oplogify(spark, sf_dir), 9))
+
+
+@_q(
+    "f7_per_shard_limit",
+    _OPLOG_CTE
+    + """
+SELECT event_id, shard, ts FROM (
+  SELECT event_id, shard, ts,
+         row_number() OVER (PARTITION BY shard ORDER BY ts, event_id) AS rn
+  FROM oplog
+) WHERE rn <= 50
+""",
+)
+def f7_per_shard_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (sharded form) — first 50 rows per shard in (ts, event_id) order
+    (TailCommand.java:765-767, per worker thread)."""
+    from .operators.filters import per_shard_limit
+
+    df = per_shard_limit(
+        _oplogify(spark, sf_dir), 50, "shard", order_cols=["ts", "event_id"]
+    )
+    return df.select("event_id", "shard", "ts")
+
+
+@_q(
+    "f8_shard_index_subset",
+    _OPLOG_CTE
+    + """
+, ids AS (SELECT DISTINCT shard FROM oplog),
+r AS (SELECT shard, row_number() OVER (ORDER BY shard) - 1 AS idx FROM ids)
+SELECT o.shard, count(*) AS n_rows, CAST(sum(o.size) AS BIGINT) AS total_size
+FROM oplog o JOIN r ON o.shard = r.shard
+WHERE r.idx IN (0, 2)
+GROUP BY o.shard
+""",
+)
+def f8_shard_index_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — ``--shardIndex 0,2`` selects positions in the SORTED distinct
+    shard-id list (TailCommand.java:966-989)."""
+    from .operators.filters import shard_subset_by_index
+
+    kept = shard_subset_by_index(_oplogify(spark, sf_dir), [0, 2, 99], "shard")
+    return kept.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("size").alias("total_size"),
+    )
+
+
+@_q(
+    "j2_stats_rejoin",
+    _OPLOG_CTE
+    + """
+, facts AS (
+  SELECT ns, op, count(*) AS count, CAST(sum(size) AS BIGINT) AS total_size
+  FROM oplog WHERE event_id % 10 = 0 GROUP BY ns, op
+), stats AS (
+  SELECT ns, op, CAST(sum(size) AS BIGINT) AS total_size
+  FROM oplog WHERE ns IN ('click', 'purchase') GROUP BY ns, op
+)
+SELECT f.ns, f.op, f.count, coalesce(s.total_size, f.total_size) AS total_size
+FROM facts f LEFT JOIN stats s ON f.ns = s.ns AND f.op = s.op
+""",
+)
+def j2_stats_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — authoritative stats re-joined over sample-derived numbers
+    (AnalyzeCommand.java:132-138, 763-822): the sampled facts keep their
+    counts but total_size is replaced wherever the stats table covers the
+    (ns, op)."""
+    from .sources.stats_json import join_stats
+
+    oplog = _oplogify(spark, sf_dir)
+    facts = (
+        oplog.filter(F.col("event_id") % 10 == 0)
+        .groupBy("ns", "op")
+        .agg(F.count(F.lit(1)).alias("count"), F.sum("size").alias("total_size"))
+    )
+    stats = (
+        oplog.filter(F.col("ns").isin("click", "purchase"))
+        .groupBy("ns", "op")
+        .agg(F.sum("size").alias("total_size"))
+    )
+    return join_stats(facts, stats, on=["ns", "op"]).select(
+        "ns", "op", "count", "total_size"
+    )
+
+
+@_q(
+    "w4_reassembly_events",
+    """
+SELECT user_id AS conv_id,
+       md5(string_agg(event_type, chr(10) ORDER BY ts, event_id)) AS text_md5,
+       count(*) AS n_turns
+FROM events GROUP BY user_id
+""",
+)
+def w4_reassembly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — conversation reassembly (north_rule per-turn text equality) on
+    a driver table: user_id = conversation, (ts, event_id) = turn order,
+    event_type = turn text; runs the real two-phase hot-key-safe operator
+    and hashes the reassembled text for the oracle compare."""
+    from .operators.windows import reassemble_conversations
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.col("event_type").alias("text"),
+    )
+    out = reassemble_conversations(turns, bucket_span=4)
+    return out.select("conv_id", F.md5("full_text").alias("text_md5"), "n_turns")
+
+
+@_q(
+    "p8_lag_wallclock",
+    """
+SELECT wallclock,
+       greatest(0, CAST(epoch(CAST(wallclock AS TIMESTAMP))
+                        - epoch((SELECT max(ts) FROM events)) AS BIGINT)) AS lag_sec
+FROM (VALUES ('2025-06-01 00:00:00'), ('2020-01-01 00:00:00')) AS t(wallclock)
+""",
+)
+def p8_lag_wallclock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/T4 — lag vs a supplied wallclock, clamped at 0
+    (TailCommand.java:1073-1082)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("latest_ts"))
+    walls = spark.sql(
+        "SELECT * FROM VALUES ('2025-06-01 00:00:00'), ('2020-01-01 00:00:00') "
+        "AS t(wallclock)"
+    )
+    return walls.crossJoin(F.broadcast(mx)).select(
+        "wallclock",
+        F.greatest(
+            F.lit(0).cast("long"),
+            (
+                F.unix_timestamp(F.col("wallclock").cast("timestamp"))
+                - F.unix_timestamp("latest_ts")
+            ).cast("long"),
+        ).alias("lag_sec"),
+    )
+
+
+@_q(
+    "o6_shard_sort_rank",
+    _OPLOG_CTE
+    + """
+SELECT shard, ops, bytes,
+       CAST(row_number() OVER (ORDER BY bytes DESC, shard) AS INT) AS rank
+FROM (SELECT shard, count(*) AS ops, CAST(sum(size) AS BIGINT) AS bytes
+      FROM oplog GROUP BY shard)
+""",
+)
+def o6_shard_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — shard report sort order made value-visible via rank (hash
+    comparison is order-insensitive, so the sort is encoded as a column)."""
+    per = (
+        _oplogify(spark, sf_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("ops"), F.sum("size").alias("bytes"))
+    )
+    w = Window.orderBy(F.desc("bytes"), F.asc("shard"))
+    return per.withColumn("rank", F.row_number().over(w))
+
+
+@_q(
+    "a17_recommendations",
+    _OPLOG_CTE
+    + """
+, per_shard AS (
+  SELECT shard, count(*) AS ops, sum(size) AS bytes,
+         sum(size) * 1.0 / count(*) AS avg_per_op
+  FROM oplog GROUP BY shard
+), skew AS (
+  SELECT 'shard_key' AS kind, 'cluster' AS subject,
+         'add high-cardinality field / hashed shard key / split large documents'
+           AS recommendation,
+         round(max(avg_per_op) / min(avg_per_op), 4) AS metric
+  FROM per_shard
+  HAVING count(*) > 1 AND max(avg_per_op) > min(avg_per_op) * 1.0
+), pat AS (
+  SELECT ns, count(*) AS ops, sum(size) AS total_bytes FROM oplog GROUP BY ns
+), coll AS (
+  SELECT 'collection' AS kind, ns AS subject,
+         CASE WHEN total_bytes * 1.0 / ops > 9.4
+              THEN 'document bucketing or field-level updates'
+              ELSE 'batching or aggregation pipeline updates' END AS recommendation,
+         round(total_bytes * 1.0 / ops, 4) AS metric
+  FROM pat
+  WHERE total_bytes * 1.0 / ops > 9.4
+     OR (ops > 100 AND total_bytes * 1.0 / ops < 9.2)
+)
+SELECT * FROM skew UNION ALL SELECT * FROM coll
+""",
+)
+def a17_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — the analyze command's recommendation layer
+    (AnalyzeCommand.java:486-533) over the events-as-oplog mapping;
+    skew_factor 1.0 so the (mildly skewed) driver data produces the
+    shard_key row."""
+    return A.recommendations(
+        _oplogify(spark, sf_dir), "shard",
+        skew_factor=1.0, heavy_avg=9.4, frequent_ops=100, small_avg=9.2,
+    )
+
+
 # --- rows-only entries (hash-based / pipeline ops with no clean ANSI-SQL
 #     equivalent; verified instead by tests/test_functions.py oracles) -----
 
@@ -863,8 +1177,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@_q("dedup_ngram_jaccard")
+@_q(
+    "dedup_ngram_jaccard",
+    r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), shing AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+), ex AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM shing
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, inter, CAST(n_a + n_b - inter AS BIGINT) AS uni
+FROM pairs WHERE inter >= (n_a + n_b - inter) * 0.5
+""",
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs — deterministic integer math, so
+    the inverted-shingle-index plan is fully DuckDB-oracled (unlike the
+    xxhash64-based minhash/simhash variants, which have no DuckDB hash
+    counterpart and stay pytest-verified)."""
     from .functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
@@ -902,7 +1243,7 @@ def conversation_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .transcripts import generate_transcripts
 
     df = generate_transcripts(spark, num_conversations=300)
-    out = reassemble_conversations(df, salt_partitions=32)
+    out = reassemble_conversations(df, bucket_span=64)
     return out.select("conv_id", F.md5("full_text").alias("text_md5"), "n_turns")
 
 

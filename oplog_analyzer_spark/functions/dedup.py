@@ -66,6 +66,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard via inverted shingle index.
 
@@ -73,12 +74,29 @@ def ngram_jaccard_pairs(
     → jaccard from |A|,|B|,|A∩B|.  The join key is the shingle, so only
     documents sharing at least one shingle ever meet (candidate pruning);
     output carries integer inter/union so comparisons are engine-exact.
+
+    A single stop-shingle (a ubiquitous trigram) appearing in d docs makes
+    d²/2 candidate pairs — the scale killer for web corpora.
+    ``max_doc_freq`` drops shingles seen in more than that many docs from
+    the INDEX ONLY (one extra aggregate over the posting list).  With the
+    cap, ``inter`` undercounts by the dropped shingles, so jaccard is a
+    lower bound: recall can drop for pairs whose overlap is mostly
+    stop-shingles, but no false positives appear.  Default None = exact
+    (the oracle-matched form).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.size(shingles(text_col, n)).alias("n_sh"),
         F.explode(shingles(text_col, n)).alias("sh"),
     )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
@@ -208,34 +226,66 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    blocks: int = 4,
+    match_blocks: int = 1,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
-    chunks — any pair within hamming distance 3 shares at least one exact
-    chunk (pigeonhole) — bucket-join per chunk, verify with popcount."""
+    """SimHash near-dup pairs via pigeonhole blocking + popcount verify.
+
+    The 64-bit fingerprint is split into ``blocks`` equal chunks.  A pair
+    within hamming distance k differs in at most k chunks, so it AGREES on
+    at least ``blocks − k`` — hence on at least one ``match_blocks``-subset
+    of chunks whenever ``match_blocks ≤ blocks − k`` (validated).  Each doc
+    emits one bucket key per subset (``C(blocks, match_blocks)`` keys);
+    candidates meet only inside a bucket and are verified exactly with
+    popcount, so a wider key can NEVER lose a true pair — only shed false
+    candidates.
+
+    Scale: the default (4×16-bit, match 1) gives 2^16 buckets per band —
+    at 10^9 docs that is ~15k docs/bucket ⇒ ~10^8 intra-bucket pairs,
+    unusable.  The 10^9-doc configuration is ``blocks=8, match_blocks=5``:
+    56 keys/doc, 40-bit bucket keys (~10^12 buckets) ⇒ near-empty buckets,
+    with the same hamming-3 guarantee (8 − 3 = 5).  Key width grows as
+    ``match_blocks × 64/blocks`` bits; index size as C(blocks,
+    match_blocks) rows/doc — tune the trade per corpus size.
+    """
+    if 64 % blocks:
+        raise ValueError("blocks must divide 64")
+    if match_blocks > blocks - max_hamming:
+        raise ValueError(
+            f"match_blocks={match_blocks} breaks the pigeonhole guarantee for "
+            f"hamming {max_hamming} with {blocks} blocks (max {blocks - max_hamming})"
+        )
+    import itertools
+
+    width = 64 // blocks
+    mask = (1 << width) - 1
     fps = simhash(df, id_col, text_col)
-    chunked = fps.select(
+
+    def chunk(c: int) -> F.Column:
+        return F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+
+    combos = list(itertools.combinations(range(blocks), match_blocks))
+    keyed = fps.select(
         "id",
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
+                        F.lit(ci).alias("combo"),
+                        F.xxhash64(*[chunk(c) for c in combo]).alias("key"),
                     )
-                    for c in range(4)
+                    for ci, combo in enumerate(combos)
                 ]
             )
-        ).alias("cc"),
-    ).select("id", "simhash", "cc.chunk", "cc.val")
+        ).alias("kk"),
+    ).select("id", "simhash", "kk.combo", "kk.key")
     cand = (
-        chunked.alias("x")
+        keyed.alias("x")
         .join(
-            chunked.alias("y"),
-            (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.val") == F.col("y.val"))
+            keyed.alias("y"),
+            (F.col("x.combo") == F.col("y.combo"))
+            & (F.col("x.key") == F.col("y.key"))
             & (F.col("x.id") < F.col("y.id")),
         )
         .select(

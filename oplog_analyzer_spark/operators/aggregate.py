@@ -299,6 +299,65 @@ def global_counters(df: DataFrame, ns_col: str = "ns", size_col: str = "size") -
     )
 
 
+def recommendations(
+    df: DataFrame,
+    shard_col: str,
+    ns_col: str = "ns",
+    size_col: str = "size",
+    skew_factor: float = 2.0,
+    heavy_avg: float = 5000.0,
+    frequent_ops: int = 10000,
+    small_avg: float = 1000.0,
+) -> DataFrame:
+    """A17 — the analyze command's recommendation layer
+    (AnalyzeCommand.java:486-533): compose the per-shard workload (A16) and
+    per-collection pattern (A12) aggregates into actionable rows.
+
+      * one ``shard_key`` row when >1 shard and max(avg bytes/op) >
+        skew_factor × min(avg bytes/op) — the reference's 2× skew gate
+        (AnalyzeCommand.java:492-505), metric = the skew ratio;
+      * one ``collection`` row per heavy-updates ns ("document bucketing or
+        field-level updates") and per frequent-small ns ("batching or
+        aggregation pipeline updates"), AnalyzeCommand.java:510-519,
+        metric = the ns's avg bytes/op.
+
+    Both inputs are aggregate-sized; the union is trivially small.
+    """
+    per_shard = df.groupBy(F.col(shard_col).alias("shard")).agg(
+        F.count(F.lit(1)).alias("ops"), F.sum(size_col).alias("bytes")
+    ).withColumn("avg_per_op", F.col("bytes") / F.col("ops"))
+    skew = (
+        per_shard.agg(
+            F.max("avg_per_op").alias("mx"),
+            F.min("avg_per_op").alias("mn"),
+            F.count(F.lit(1)).alias("n_shards"),
+        )
+        .filter((F.col("n_shards") > 1) & (F.col("mx") > F.col("mn") * skew_factor))
+        .select(
+            F.lit("shard_key").alias("kind"),
+            F.lit("cluster").alias("subject"),
+            F.lit(
+                "add high-cardinality field / hashed shard key / split large documents"
+            ).alias("recommendation"),
+            F.round(F.col("mx") / F.col("mn"), 4).alias("metric"),
+        )
+    )
+    patterns = classify_collections(
+        df, ns_col, size_col,
+        heavy_avg=heavy_avg, frequent_ops=frequent_ops, small_avg=small_avg,
+    )
+    coll = patterns.filter(F.col("pattern") != "mixed").select(
+        F.lit("collection").alias("kind"),
+        F.col("ns").alias("subject"),
+        F.when(
+            F.col("pattern") == "heavy-updates",
+            "document bucketing or field-level updates",
+        ).otherwise("batching or aggregation pipeline updates").alias("recommendation"),
+        F.round(F.col("total_bytes") / F.col("ops"), 4).alias("metric"),
+    )
+    return skew.unionAll(coll)
+
+
 def workload_buckets(
     per_shard: DataFrame,
     avg_bytes_threshold: int = 2000,

@@ -89,13 +89,16 @@ def row_limit(df: DataFrame, n: int | None) -> DataFrame:
 
 
 def per_shard_limit(
-    df: DataFrame, n: int, shard_col: str, order_col: str = "ts"
+    df: DataFrame, n: int, shard_col: str,
+    order_cols: Sequence[str] | str = "ts",
 ) -> DataFrame:
     """F7 (sharded form) — first n rows per shard in ts order, via a ranked
-    window rather than per-partition state."""
+    window rather than per-partition state.  Pass extra ``order_cols`` as
+    tie-breakers to make the cut deterministic under ts collisions."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(shard_col).orderBy(order_col)
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = Window.partitionBy(shard_col).orderBy(*cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
@@ -106,8 +109,29 @@ def per_shard_limit(
 def shard_subset(
     df: DataFrame, shard_ids: Sequence[str], shard_col: str
 ) -> DataFrame:
-    """F8 — shard subset selection (TailCommand.java:966-989); the
-    reference indexes into the sorted shard-id list, we take resolved ids."""
+    """F8 (resolved form) — keep rows whose shard id is in the given set."""
     if not shard_ids:
         return df
     return df.filter(F.col(shard_col).isin(list(shard_ids)))
+
+
+def resolve_shard_indexes(
+    df: DataFrame, indexes: Sequence[int], shard_col: str
+) -> list:
+    """F8 index semantics (TailCommand.java:966-989): ``--shardIndex 0,2``
+    selects POSITIONS in the sorted distinct shard-id list; out-of-range
+    indexes are skipped with a warning in the reference — here simply
+    skipped.  The distinct-shard collect is bounded by cluster shard count
+    (dozens), never data volume."""
+    ids = sorted(r[0] for r in df.select(shard_col).distinct().collect())
+    return [ids[i] for i in indexes if 0 <= i < len(ids)]
+
+
+def shard_subset_by_index(
+    df: DataFrame, indexes: Sequence[int] | None, shard_col: str
+) -> DataFrame:
+    """F8 — shard subset by sorted-list position (TailCommand.java:966-989).
+    ``indexes=None`` means all shards, matching the reference default."""
+    if indexes is None:
+        return df
+    return shard_subset(df, resolve_shard_indexes(df, indexes, shard_col), shard_col)

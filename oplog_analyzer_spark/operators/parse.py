@@ -150,6 +150,18 @@ def unwind_applyops(df: DataFrame) -> DataFrame:
     **integer division** ``size / k`` — replicated exactly with floor on
     longs (TailCommand.java:657).  Non-batch rows pass through unchanged.
 
+    Documented divergences from the reference:
+      * the reference accumulates the parent ``$cmd`` entry AND the inner
+        ops (TailCommand.java:648-650 + the else branch ~695); here the
+        parent row is REPLACED by its inner rows — the routed-row-equality
+        invariant wants each logical op exactly once;
+      * the reference only unwinds namespaces ending in ``.$cmd`` and
+        re-applies the namespace include-list to inner namespaces
+        (TailCommand.java:637-650); here any command row with a ``sub``
+        marker unwinds and inner namespaces are not re-filtered — callers
+        that need inner-ns filtering apply include_namespaces() AFTER the
+        unwind (order is explicit in the pipeline, not baked in).
+
     Single-pass formulation: every row maps to an array of (ns, op, size)
     structs — length 1 for plain rows, length k for batch rows — then one
     explode.  No filter+union (which would scan and re-evaluate the parse

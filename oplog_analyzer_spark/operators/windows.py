@@ -75,39 +75,82 @@ def first_n_distinct_per_group(
     return df.join(F.broadcast(admitted), on=[*group_cols, id_col], how="left_semi")
 
 
-def reassemble_conversations(
+def reassembly_partials(
     df: DataFrame,
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
     text_col: str = "text",
     sep: str = "\n",
-    salt_partitions: int | None = None,
+    bucket_span: int = 64,
 ) -> DataFrame:
-    """W4 — conversation reassembly under stable (conv_id, turn_idx) order.
-
-    ``sort_array(collect_list(struct(idx, text)))`` gives deterministic
-    per-turn ordering independent of task scheduling — the per-turn text
-    equality invariant (north_rule).  At 10^12-turn scale a hot conv_id
-    can dwarf others; ``salt_partitions`` pre-spreads rows with a salted
-    repartition so no single task receives a whole hot conversation's
-    shuffle block before the final per-conv combine.  The aggregation
-    itself is salt-invariant: collect_list is combined per group after the
-    shuffle and sort_array restores order regardless of arrival.
-    """
-    if salt_partitions:
-        df = df.repartition(
-            salt_partitions, F.col(conv_col), F.pmod(F.col(idx_col), F.lit(16))
-        )
-    assembled = df.groupBy(conv_col).agg(
+    """Phase 1 of hot-key-safe reassembly: aggregate per
+    ``(conv_id, turn_idx div bucket_span)``.  Buckets are CONTIGUOUS
+    turn ranges, so each partial is itself an ordered text segment; the
+    phase-1 shuffle key includes the bucket, so a hot conversation's rows
+    spread across ``n_turns / bucket_span`` reduce tasks instead of
+    landing on one."""
+    bucket = ((F.col(idx_col) - F.pmod(F.col(idx_col), F.lit(bucket_span)))
+              / F.lit(bucket_span)).cast("long")
+    return df.groupBy(F.col(conv_col), bucket.alias("__bucket")).agg(
         F.array_join(
             F.transform(
                 F.sort_array(F.collect_list(F.struct(idx_col, text_col))),
                 lambda s: s[text_col],
             ),
             sep,
-        ).alias("full_text"),
-        F.count(F.lit(1)).alias("n_turns"),
-        F.min(idx_col).alias("first_turn"),
-        F.max(idx_col).alias("last_turn"),
+        ).alias("__part"),
+        F.count(F.lit(1)).alias("__n"),
+        F.min(idx_col).alias("__min"),
+        F.max(idx_col).alias("__max"),
     )
-    return assembled
+
+
+def reassemble_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+    bucket_span: int | None = 64,
+) -> DataFrame:
+    """W4 — conversation reassembly under stable (conv_id, turn_idx) order.
+
+    ``sort_array(collect_list(struct(idx, text)))`` gives deterministic
+    per-turn ordering independent of task scheduling — the per-turn text
+    equality invariant (north_rule).  At 10^12-turn scale a hot conv_id
+    can dwarf others, and a single ``groupBy(conv_id)`` concentrates every
+    hot row on one reducer.  ``bucket_span`` enables true two-phase
+    handling: phase 1 aggregates per (conv, contiguous-turn-bucket) —
+    splitting a hot conversation across many tasks — and phase 2 merges the
+    (far fewer, pre-ordered) bucket partials per conversation.  Phase 2
+    still holds one conversation's full text on one task, which is the
+    irreducible minimum for emitting a single ``full_text`` row.
+    ``bucket_span=None`` runs the plain single-shuffle form (fine for
+    unskewed inputs).
+    """
+    if not bucket_span:
+        return df.groupBy(conv_col).agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(idx_col, text_col))),
+                    lambda s: s[text_col],
+                ),
+                sep,
+            ).alias("full_text"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(idx_col).alias("first_turn"),
+            F.max(idx_col).alias("last_turn"),
+        )
+    partials = reassembly_partials(df, conv_col, idx_col, text_col, sep, bucket_span)
+    return partials.groupBy(conv_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__bucket", "__part"))),
+                lambda s: s["__part"],
+            ),
+            sep,
+        ).alias("full_text"),
+        F.sum("__n").alias("n_turns"),
+        F.min("__min").alias("first_turn"),
+        F.max("__max").alias("last_turn"),
+    )

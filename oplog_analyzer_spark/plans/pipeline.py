@@ -5,23 +5,37 @@ This is the north_rule deliverable: the reference's tail loop
 incremental batch pipeline over a transcript table, with what the reference
 lacks entirely (T8 — no resume across restarts, TailCommand.java:540):
 
-  * the input is split into deterministic batches by a ts-derived bucket
-    (the Spark analog of consuming the oplog in ts order);
-  * each batch runs parse → enrich → route and lands in its own
-    ``batch=<k>/category=<c>/`` parquet partition (idempotent overwrite —
-    a batch killed mid-write is simply rewritten on resume);
-  * a checkpoint JSON records completed batches with per-batch lineage
-    (rows in/out) and metrics; resume skips completed batches;
+  * batches are PHYSICAL units, never computed filters over the full input:
+      - ``input_path`` mode: the parquet file list is planned once into
+        ``num_batches`` groups (the Spark analog of Iceberg manifest /
+        snapshot planning) and each batch reads ONLY its own files;
+      - DataFrame mode (computed inputs): the input is staged exactly once,
+        partitioned by a deterministic ``batch_id``, and each batch reads
+        only its ``batch_id=<k>/`` directory — partition pruning by path.
+    Either way the whole run reads each input row O(1) times; the previous
+    design filtered the full input on a computed hash per batch (N full
+    scans at N batches — ~32 full scans of a 100 TB table at 16 batches).
+  * per-batch lineage (rows in/out) comes from ``Observation`` hooks on the
+    already-running write job — no second count() scan;
+  * each batch lands in its own ``batch=<k>/category=<c>/`` parquet
+    partition (idempotent overwrite — a batch killed mid-write is simply
+    rewritten on resume);
+  * a checkpoint JSON records completed batches; resume skips them, and a
+    resumed run ADOPTS the checkpointed ``num_batches`` (a different CLI
+    value would reinterpret batch ids under a new modulus and silently
+    duplicate/drop rows);
   * final per-sink aggregates are computed FROM the routed sinks (the
     system of record), so they are exact and identical no matter how many
     kill/resume cycles happened — the reference's merge-at-shutdown
     (TailCommand.java:1103-1146) without the shutdown races it guards
     against (TailCommand.java:817-921).
 
-Scale notes: batches map to Iceberg snapshot ranges on a real cluster; the
-per-batch write is a full shuffle-free pass (parse/enrich/route are narrow
-after the broadcast join), and the only shuffles in the whole pipeline are
-the final aggregate's.
+Scale notes: on a real cluster ``input_path`` mode is the production form —
+file groups map to Iceberg manifests and no staging copy exists; the
+staged-write mode is for computed inputs (backfills, generated corpora)
+where one materialization is unavoidable anyway.  The per-batch work is a
+single narrow pass (parse/enrich/route are shuffle-free after the broadcast
+join); the only shuffles in the whole pipeline are the final aggregate's.
 """
 
 from __future__ import annotations
@@ -30,12 +44,12 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.filters import exclude_system_namespaces
 from ..operators.parse import parse_transcripts, unwind_applyops
-from ..sources.sinks import per_sink_aggregates, route_categories, write_routed
+from ..sources.sinks import per_sink_aggregates, route_categories
 
 
 class TranscriptPipeline:
@@ -52,6 +66,7 @@ class TranscriptPipeline:
         self.tool_catalog = tool_catalog
         self.num_batches = num_batches
         self.with_diff_stats = with_diff_stats
+        self.staged_dir = os.path.join(work_dir, "staged")
         self.routed_dir = os.path.join(work_dir, "routed")
         self.metrics_dir = os.path.join(work_dir, "metrics")
         self.checkpoint_path = os.path.join(work_dir, "checkpoint.json")
@@ -60,24 +75,68 @@ class TranscriptPipeline:
     def _load_checkpoint(self) -> dict:
         if os.path.exists(self.checkpoint_path):
             with open(self.checkpoint_path) as f:
-                return json.load(f)
+                state = json.load(f)
+            if state.get("num_batches") != self.num_batches:
+                # Adopt the checkpointed plan: batch ids are only meaningful
+                # under the modulus they were created with.
+                self.num_batches = state["num_batches"]
+            return state
         return {"completed": {}, "num_batches": self.num_batches}
 
     def _save_checkpoint(self, state: dict) -> None:
+        os.makedirs(self.work_dir, exist_ok=True)
         tmp = self.checkpoint_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f, indent=1, sort_keys=True)
         os.replace(tmp, self.checkpoint_path)  # atomic commit point
 
-    # -- stages ----------------------------------------------------------
-    def _assign_batches(self, transcripts: DataFrame) -> DataFrame:
-        """Deterministic batch id from the conv hash — every row of a batch
-        is identified by data content, never by scheduling order."""
-        return transcripts.withColumn(
+    # -- batch planning ----------------------------------------------------
+    def _stage(self, transcripts: DataFrame, state: dict) -> None:
+        """One-time materialization of the computed input, partitioned by a
+        deterministic content-derived batch id.  Exactly one read of the
+        input + one write, after which every batch is a pruned directory
+        read.  Idempotent: a crash mid-stage leaves ``staged`` unset and the
+        overwrite redoes it."""
+        with_id = transcripts.withColumn(
             "batch_id",
-            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(self.num_batches)).cast("int"),
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(self.num_batches)).cast(
+                "int"
+            ),
         )
+        with_id.write.mode("overwrite").partitionBy("batch_id").parquet(
+            self.staged_dir
+        )
+        state["staged"] = True
+        self._save_checkpoint(state)
 
+    def _plan_file_groups(self, input_path: str, state: dict) -> None:
+        """Plan parquet files into batch groups ONCE and pin the plan in the
+        checkpoint, so resume processes the same groups even if files were
+        added since (Iceberg-manifest-style planning)."""
+        files = sorted(
+            os.path.join(root, fn)
+            for root, _dirs, fns in os.walk(input_path)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        groups: list[list[str]] = [[] for _ in range(self.num_batches)]
+        for i, f in enumerate(files):
+            groups[i % self.num_batches].append(f)
+        state["file_groups"] = groups
+        self._save_checkpoint(state)
+
+    def _batch_df(self, state: dict, b: int) -> DataFrame | None:
+        if "file_groups" in state:
+            group = state["file_groups"][b]
+            if not group:
+                return None
+            return self.spark.read.parquet(*group)
+        path = os.path.join(self.staged_dir, f"batch_id={b}")
+        if not os.path.isdir(path):  # no row hashed into this batch
+            return None
+        return self.spark.read.parquet(path)
+
+    # -- stages ----------------------------------------------------------
     def transform_batch(self, batch: DataFrame) -> DataFrame:
         """parse → filter → unwind → enrich/route for one batch (the body
         of the reference's per-entry loop, TailCommand.java:552-764)."""
@@ -87,30 +146,54 @@ class TranscriptPipeline:
         return route_categories(unwound, self.tool_catalog)
 
     # -- run / resume ------------------------------------------------------
-    def run(self, transcripts: DataFrame, fail_after_batch: int | None = None) -> dict:
+    def run(
+        self,
+        transcripts: DataFrame | None = None,
+        input_path: str | None = None,
+        fail_after_batch: int | None = None,
+    ) -> dict:
         """Process all incomplete batches; returns the checkpoint state.
 
-        ``fail_after_batch`` injects a crash after N batches (resume test
-        hook — the kill stage of the reference's 3-stage shutdown drill,
-        TailCommand.java:817-921).
+        Pass ``input_path`` (a parquet directory) for the production
+        zero-copy file-group plan, or ``transcripts`` (any DataFrame) for
+        the stage-once plan.  ``fail_after_batch`` injects a crash after N
+        batches (resume test hook — the kill stage of the reference's
+        3-stage shutdown drill, TailCommand.java:817-921).
         """
         state = self._load_checkpoint()
-        with_batches = self._assign_batches(transcripts)
+        if input_path is not None:
+            if "file_groups" not in state:
+                self._plan_file_groups(input_path, state)
+        elif not state.get("staged"):
+            if transcripts is None:
+                raise ValueError("need transcripts or input_path")
+            self._stage(transcripts, state)
+
         done_this_run = 0
         for b in range(self.num_batches):
             if str(b) in state["completed"]:
                 continue
             t0 = time.time()
-            batch = with_batches.filter(F.col("batch_id") == b).drop("batch_id")
-            routed = self.transform_batch(batch)
+            batch = self._batch_df(state, b)
+            if batch is None:  # empty file group
+                state["completed"][str(b)] = {
+                    "rows_in": 0, "rows_out": 0, "path": None, "wall_sec": 0.0,
+                }
+                self._save_checkpoint(state)
+                continue
+            if "batch_id" in batch.columns:
+                batch = batch.drop("batch_id")
+            obs_in = Observation()
+            obs_out = Observation()
+            batch = batch.observe(obs_in, F.count(F.lit(1)).alias("n"))
+            routed = self.transform_batch(batch).observe(
+                obs_out, F.count(F.lit(1)).alias("n")
+            )
             out = os.path.join(self.routed_dir, f"batch={b}")
-            # observe rows in/out without a second scan
-            n_in = batch.count()
             routed.write.mode("overwrite").partitionBy("category").parquet(out)
-            n_out = self.spark.read.parquet(out).count()
             state["completed"][str(b)] = {
-                "rows_in": n_in,
-                "rows_out": n_out,
+                "rows_in": obs_in.get["n"],
+                "rows_out": obs_out.get["n"],
                 "path": out,
                 "wall_sec": round(time.time() - t0, 3),
             }

@@ -35,13 +35,63 @@ _SCALE_CONF = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
     # local mode runs every task thread in the driver JVM; the 1g default
-    # heap thrashes GC as soon as tens of tasks run concurrently (measured
-    # 8x slowdown at local[32]).  On a cluster, spark-submit overrides.
-    "spark.driver.memory": "48g",
+    # heap thrashes GC as soon as tens of tasks run concurrently, but an
+    # over-sized lazily-committed heap is just as bad: 48g with default
+    # -Xms spent MINUTES in G1 region commit/zeroing churn on the first
+    # large query (measured 595s → 25s for the identical 20M-row job after
+    # switching to a moderate pre-touched heap).  12g + -Xms12g +
+    # AlwaysPreTouch (set via PYSPARK_SUBMIT_ARGS below) is the sweet spot
+    # for local[32].  On a cluster, spark-submit overrides.
+    "spark.driver.memory": "12g",
     "spark.driver.maxResultSize": "4g",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
 }
+
+
+def _under_spark_submit() -> bool:
+    """True when this interpreter was launched by spark-submit's
+    PythonRunner (it exports the py4j gateway coordinates).  In that case
+    the launcher's SparkConf — including ``--master`` — must win: a
+    code-set ``builder.master()`` would silently override it and run the
+    whole job local on the driver."""
+    return "PYSPARK_GATEWAY_PORT" in os.environ
+
+
+def _resolve_master(master: str | None) -> str | None:
+    """None ⇒ inherit the launcher's master (spark-submit) or default to
+    ``local[$SPARK_GRAFT_CPUS]`` when self-launched (tests, bench)."""
+    if master is not None:
+        return master
+    if _under_spark_submit():
+        return None
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return f"local[{cpus}]"
+
+
+def _ensure_driver_memory(mem: str) -> None:
+    """``spark.driver.memory`` via SparkSession.builder is a no-op for
+    python-launched sessions: launch_gateway has already started the driver
+    JVM by the time the conf applies.  Export it through
+    PYSPARK_SUBMIT_ARGS *before* the first JVM launch instead.  No-op under
+    spark-submit (launcher owns the JVM) or once a JVM is up."""
+    if _under_spark_submit():
+        return
+    from pyspark import SparkContext
+
+    if SparkContext._active_spark_context is not None:
+        return  # JVM already launched; too late, and resizing is impossible
+    if "PYSPARK_SUBMIT_ARGS" in os.environ:
+        return  # caller/env owns the launch args
+    # -Xms matters as much as -Xmx: --driver-memory sets only the max, and
+    # lazy heap growth during the first large query costs minutes of region
+    # commit/zeroing/GC churn (measured 595s → 25s on an identical 20M-row
+    # job).  Pre-size AND pre-touch the whole heap; cap G1 pause target so
+    # young collections stay small under the string-heavy parse load.
+    opts = f"-Xms{mem} -XX:+AlwaysPreTouch -XX:MaxGCPauseMillis=100"
+    os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        f'--driver-memory {mem} --driver-java-options "{opts}" pyspark-shell'
+    )
 
 
 def get_spark(
@@ -52,9 +102,9 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's scale settings.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, then 32) in the
-    sandbox; on a cluster, pass ``None`` with a pre-configured environment and
-    the builder inherits spark-submit's master.
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, then 32) when
+    self-launched; under spark-submit (detected via the py4j gateway env)
+    ``master=None`` inherits the launcher's ``--master`` untouched.
     """
     # Executor Python workers must be able to import this package (the
     # pandas UDFs pickle by reference).  Local mode: workers inherit the
@@ -67,16 +117,17 @@ def get_spark(
             f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
         )
 
-    builder = SparkSession.builder.appName(app_name)
-    if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
-    builder = builder.master(master)
     conf = dict(_SCALE_CONF)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
+
+    _ensure_driver_memory(conf["spark.driver.memory"])
+    builder = SparkSession.builder.appName(app_name)
+    resolved = _resolve_master(master)
+    if resolved is not None:
+        builder = builder.master(resolved)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

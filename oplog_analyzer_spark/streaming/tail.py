@@ -22,7 +22,10 @@ and reporting every 30 s (TailCommand.java:750-763).  Spark mapping:
                           EntryAccumulator.java:210-228).
   T8 resume             → the stream checkpoint directory; the reference
                           has no cross-restart resume (TailCommand.java:540)
-                          — this is the north_rule extension.
+                          — this is the north_rule extension.  foreachBatch
+                          is at-least-once, so the partial/metrics sinks are
+                          per-batch_id overwrites (replay-idempotent — see
+                          _sink_batch).
 
 ``Trigger.AvailableNow`` drains everything present and stops — giving the
 bounded-prefix semantics the reference produces at each report, and making
@@ -76,24 +79,31 @@ class TailStream:
             F.max("ts").alias("latest_ts"),
         )
 
+    def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Idempotent micro-batch sink.  foreachBatch is at-least-once: a
+        crash after the write but before the stream's offset commit REPLAYS
+        the batch with the SAME batch_id on resume.  Writing each batch to
+        its own ``batch_id=<k>/`` partition with overwrite makes the replay
+        a no-op rewrite instead of an append that report() would
+        double-count."""
+        agg = self._batch_aggregate(batch)
+        agg.write.mode("overwrite").parquet(
+            os.path.join(self.partials_dir, f"batch_id={batch_id}")
+        )
+        # T3 heartbeat record: rows + lag proxy per batch
+        batch.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.max("ts").alias("latest_ts"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.metrics_dir, f"batch_id={batch_id}")
+        )
+
     def run_available(self) -> None:
         """Drain all currently-available input (Trigger.AvailableNow), then
         stop — one resumable increment of the unbounded tail."""
-
-        def sink(batch: DataFrame, batch_id: int) -> None:
-            agg = self._batch_aggregate(batch).withColumn("batch_id", F.lit(batch_id))
-            agg.write.mode("append").parquet(self.partials_dir)
-            # T3 heartbeat record: rows + lag proxy per batch
-            batch.agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.max("ts").alias("latest_ts"),
-            ).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-                self.metrics_dir
-            )
-
         q = (
             self._source()
-            .writeStream.foreachBatch(sink)
+            .writeStream.foreachBatch(self._sink_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
             .start()
@@ -104,7 +114,9 @@ class TailStream:
         """Cumulative A1 report: final merge of all batch partials — the
         same partial/final algebra as the reference's mergeShardResults
         (TailCommand.java:1103-1146), with floor-avg display parity."""
-        partials = self.spark.read.parquet(self.partials_dir)
+        partials = self.spark.read.option("basePath", self.partials_dir).parquet(
+            os.path.join(self.partials_dir, "batch_id=*")
+        )
         merged = partials.groupBy("ns", "op").agg(
             F.sum("count").alias("count"),
             F.sum("total_size").alias("total_size"),

@@ -248,3 +248,54 @@ FROM routed GROUP BY category, ns ORDER BY category, ns
                 "distinct_conv", "total_bytes"):
         # duckdb sums come back as HUGEINT → float64 in pandas; compare as int
         assert got[col].astype("int64").tolist() == want[col].astype("int64").tolist(), col
+
+
+def test_simhash_scale_blocking_equivalent(spark):
+    """The 10^9-doc blocking config (8 blocks, match 5 → 40-bit keys) must
+    return exactly the verified pairs of the default config: wider keys
+    shed candidates, never true pairs (pigeonhole guarantee)."""
+    base = " ".join(
+        [
+            "the quick brown fox jumps over the lazy dog near the old river bank",
+            "and the wind moves slowly across the quiet green valley floor",
+            "while distant birds call from tall pine trees beyond the ridge",
+            "as evening light settles gently over the small sleeping town",
+        ]
+    )
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, "completely different text about spark shuffle partitions and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    default = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(df, max_hamming=3).collect()
+    }
+    scale = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(df, max_hamming=3, blocks=8, match_blocks=5).collect()
+    }
+    assert scale == default
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs(df, max_hamming=3, blocks=4, match_blocks=2)
+
+
+def test_ngram_doc_freq_cap_sheds_only_hot_shingles(docs):
+    """max_doc_freq drops stop-shingles from the index: results are a
+    subset of the exact pairs (no false positives), and pairs whose overlap
+    is NOT hot-shingle-dominated survive."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped_rows = D.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=3).collect()
+    capped = {(r["id_a"], r["id_b"]) for r in capped_rows}
+    assert capped <= exact
+    # with a generous cap nothing is hot → identical results
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=100).collect()
+    }
+    assert loose == exact

@@ -152,3 +152,45 @@ def test_lookup_enrich_fallback(spark):
     dim = _mk(spark, [("a", 99)], "id string, actual_size long")
     out = {r["id"]: r["doc_size"] for r in lookup_actual_size(facts, dim).collect()}
     assert out == {"a": 99, "b": 20}  # b falls back to oplog size
+
+
+def test_resolve_shard_indexes_sorted_positions(spark):
+    from oplog_analyzer_spark.operators.filters import (
+        resolve_shard_indexes,
+        shard_subset_by_index,
+    )
+
+    df = spark.createDataFrame(
+        [("shB", 1), ("shA", 2), ("shC", 3), ("shA", 4)], "shard string, v int"
+    )
+    # positions index the SORTED distinct list [shA, shB, shC]
+    # (TailCommand.java:966-989); out-of-range indexes are skipped
+    assert resolve_shard_indexes(df, [0, 2, 9], "shard") == ["shA", "shC"]
+    kept = shard_subset_by_index(df, [0, 2, 9], "shard")
+    assert sorted(r["shard"] for r in kept.collect()) == ["shA", "shA", "shC"]
+    # None = all shards (reference default)
+    assert shard_subset_by_index(df, None, "shard").count() == 4
+
+
+def test_recommendations_compose_skew_and_patterns(spark):
+    from oplog_analyzer_spark.operators.aggregate import recommendations
+
+    # shard s1 avg 10 B/op, shard s2 avg 30 B/op → 3x skew (>2x gate);
+    # ns heavy has avg 6000 (heavy-updates), ns small has 20000 ops... use
+    # compact fixture: sizes chosen against default thresholds scaled down
+    rows = (
+        [("heavy", "s1", 6000)] * 3
+        + [("small", "s2", 10)] * 20
+        + [("mid", "s1", 1500)] * 2
+    )
+    df = spark.createDataFrame(
+        [(ns, sh, sz) for ns, sh, sz in rows], "ns string, shard string, size long"
+    )
+    out = recommendations(
+        df, "shard", skew_factor=2.0, heavy_avg=5000, frequent_ops=10, small_avg=1000
+    ).collect()
+    kinds = {(r["kind"], r["subject"]): r["recommendation"] for r in out}
+    assert ("shard_key", "cluster") in kinds  # s1 avg 4200 vs s2 avg 10 → >2x
+    assert kinds[("collection", "heavy")] == "document bucketing or field-level updates"
+    assert kinds[("collection", "small")] == "batching or aggregation pipeline updates"
+    assert ("collection", "mid") not in kinds  # mixed → no recommendation

@@ -117,20 +117,52 @@ def test_routed_row_equality(spark, transcripts, tmp_path):
     assert multi_cat.count() == 0
 
 
-def test_reassembly_per_turn_text_equality(spark, transcripts):
+@pytest.mark.parametrize("bucket_span", [None, 4, 64])
+def test_reassembly_per_turn_text_equality(spark, transcripts, bucket_span):
     from oplog_analyzer_spark.operators.windows import reassemble_conversations
 
-    got = reassemble_conversations(transcripts, salt_partitions=8).toPandas()
+    got = reassemble_conversations(transcripts, bucket_span=bucket_span).toPandas()
     pdf = transcripts.toPandas()
     expected = (
         pdf.sort_values(["conv_id", "turn_idx"])
         .groupby("conv_id")["text"]
         .apply("\n".join)
     )
-    got = got.set_index("conv_id")["full_text"]
+    full = got.set_index("conv_id")["full_text"]
     pd.testing.assert_series_equal(
-        got.sort_index(), expected.sort_index(), check_names=False
+        full.sort_index(), expected.sort_index(), check_names=False
     )
+    # lineage columns survive the two-phase merge
+    n = got.set_index("conv_id")["n_turns"]
+    pd.testing.assert_series_equal(
+        n.sort_index().astype("int64"),
+        pdf.groupby("conv_id").size().sort_index().astype("int64"),
+        check_names=False,
+    )
+
+
+def test_reassembly_hot_conversation_splits_across_tasks(spark, transcripts):
+    """The hot conversation's phase-1 partials must land on ≥2 distinct
+    reduce tasks — the whole point of two-phase vs groupBy(conv_id)."""
+    from oplog_analyzer_spark.operators.windows import reassembly_partials
+
+    hot = (
+        transcripts.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    )["conv_id"]
+    # at test scale AQE would coalesce the tiny shuffle to 1 partition;
+    # at 10^12 turns it would not — pin it off to observe the key spread
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        parts = reassembly_partials(transcripts, bucket_span=4).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        hot_tasks = (
+            parts.filter(F.col("conv_id") == hot)
+            .select("pid").distinct().count()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert hot_tasks >= 2
 
 
 def test_checkpoint_resume_idempotent(spark, transcripts, tmp_path):
@@ -152,6 +184,42 @@ def test_checkpoint_resume_idempotent(spark, transcripts, tmp_path):
     assert got == want
     # lineage recorded per batch
     assert all("rows_in" in v and "rows_out" in v for v in state2["completed"].values())
+
+
+def test_pipeline_file_group_mode_matches_staged(spark, transcripts, tmp_path):
+    """input_path mode (zero-copy file-group plan) produces identical final
+    aggregates to the stage-once DataFrame mode, and pins its plan in the
+    checkpoint."""
+    cat = T.tool_catalog(spark)
+    src = str(tmp_path / "src")
+    transcripts.repartition(6).write.parquet(src)
+
+    staged = TranscriptPipeline(spark, str(tmp_path / "a"), cat, num_batches=3)
+    staged.run(transcripts)
+
+    filemode = TranscriptPipeline(spark, str(tmp_path / "b"), cat, num_batches=3)
+    state = filemode.run(input_path=src)
+    assert "file_groups" in state and len(state["file_groups"]) == 3
+    assert sum(len(g) for g in state["file_groups"]) >= 6
+    a = sorted(map(tuple, staged.final_aggregates().collect()))
+    b = sorted(map(tuple, filemode.final_aggregates().collect()))
+    assert a == b
+    # lineage totals match the input row count (no per-batch rescans needed)
+    assert sum(v["rows_in"] for v in state["completed"].values()) == transcripts.count()
+
+
+def test_pipeline_resume_adopts_checkpointed_num_batches(spark, transcripts, tmp_path):
+    """Resuming with a different --batches must NOT reinterpret batch ids
+    under a new modulus (ADVICE: silent dup/drop)."""
+    cat = T.tool_catalog(spark)
+    wd = str(tmp_path / "wd")
+    p1 = TranscriptPipeline(spark, wd, cat, num_batches=3)
+    with pytest.raises(RuntimeError):
+        p1.run(transcripts, fail_after_batch=1)
+    p2 = TranscriptPipeline(spark, wd, cat, num_batches=8)  # wrong CLI value
+    state = p2.run(transcripts)
+    assert p2.num_batches == 3  # adopted from checkpoint
+    assert len(state["completed"]) == 3
 
 
 def test_pipeline_skips_completed_batches(spark, transcripts, tmp_path):

@@ -54,6 +54,26 @@ def test_tail_incremental_equals_batch(spark, tmp_path):
     assert m.agg(F.sum("rows")).collect()[0][0] == spark.read.parquet(input_dir).count()
 
 
+def test_tail_replayed_batch_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a micro-batch with the
+    same batch_id (crash between sink write and offset commit) must leave
+    the cumulative report and heartbeat metrics unchanged."""
+    input_dir = str(tmp_path / "in3")
+    T.generate_transcripts(spark, num_conversations=30).coalesce(1).write.parquet(input_dir)
+    tail = TailStream(spark, input_dir, str(tmp_path / "wd3"))
+    batch = spark.read.parquet(input_dir)
+
+    tail._sink_batch(batch, 0)
+    once = sorted(map(tuple, tail.report().collect()))
+    rows_once = spark.read.parquet(tail.metrics_dir).agg(F.sum("rows")).collect()[0][0]
+
+    tail._sink_batch(batch, 0)  # replay
+    twice = sorted(map(tuple, tail.report().collect()))
+    rows_twice = spark.read.parquet(tail.metrics_dir).agg(F.sum("rows")).collect()[0][0]
+    assert once == twice
+    assert rows_once == rows_twice
+
+
 def test_tail_lag_metric(spark, tmp_path):
     input_dir = str(tmp_path / "in2")
     T.generate_transcripts(spark, num_conversations=10).coalesce(1).write.parquet(input_dir)
