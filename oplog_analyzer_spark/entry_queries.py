@@ -868,8 +868,8 @@ SELECT doc_id, raw_id,
                  || '-' || substr(lower(raw_id), 13, 4) || '-'
                  || substr(lower(raw_id), 17, 4) || '-' || substr(lower(raw_id), 21, 12)
             WHEN regexp_full_match(raw_id, '[0-9a-fA-F]{16,}')
-                 AND strlen(raw_id) > 32
-            THEN substr(lower(raw_id), 1, 32) || '...'
+                 AND strlen(raw_id) > 32 AND strlen(raw_id) % 2 = 0
+            THEN substr(lower(raw_id), 1, 16) || '...(' || (strlen(raw_id) // 2) || ' bytes)'
             ELSE raw_id END AS norm_id
 FROM r
 """,
@@ -912,10 +912,21 @@ def p5_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.parse import diff_stats
 
     ev = load_table(spark, sf_dir, "events")
-    eid = F.col("event_id")
+    diff_json = _diff_json_expr(F.col("event_id"))
+    return ev.select("event_id", diff_stats(diff_json).alias("d")).select(
+        "event_id",
+        F.col("d.diff_fields").alias("diff_fields"),
+        F.col("d.total_elements").alias("total_elements"),
+    )
+
+
+def _diff_json_expr(eid: F.Column) -> F.Column:
+    """Deterministic diff JSON built from an id column: f0 = array of
+    (eid%5+1) ints, g = {x:1}, plus (eid%3) extra scalar fields — shared by
+    p5 (count parity) and p6 (redaction parity)."""
     ne = (eid % 5 + 1).cast("int")
     nfx = (eid % 3).cast("int")
-    diff_json = F.concat(
+    return F.concat(
         F.lit('{"f0":['),
         F.array_join(F.transform(F.sequence(F.lit(1), ne), lambda i: i.cast("string")), ","),
         F.lit('],"g":{"x":1}'),
@@ -931,11 +942,72 @@ def p5_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.lit("}"),
     )
-    return ev.select("event_id", diff_stats(diff_json).alias("d")).select(
+
+
+_DIFF_JSON_SQL = """
+  '{"f0":[' || array_to_string(list_transform(range(1, event_id % 5 + 2),
+                                              i -> CAST(i AS VARCHAR)), ',')
+  || '],"g":{"x":1}'
+  || coalesce(array_to_string(list_transform(range(1, event_id % 3 + 1),
+                              i -> ',"e' || CAST(i AS VARCHAR) || '":1'), ''), '')
+  || '}'
+"""
+
+
+@_q(
+    "p1_conditional_id",
+    _OPLOG_CTE
+    + """
+SELECT event_id,
+       CASE WHEN op = 'u' THEN 'o2_' || CAST(event_id AS VARCHAR)
+            ELSE 'o_' || CAST(event_id AS VARCHAR) END AS id
+FROM oplog
+""",
+)
+def p1_conditional_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — _id source selection: updates carry the id in o2, everything
+    else in o (BaseOplogCommand.java:132-147)."""
+    from .operators.parse import conditional_id
+
+    df = _oplogify(spark, sf_dir).select(
         "event_id",
-        F.col("d.diff_fields").alias("diff_fields"),
-        F.col("d.total_elements").alias("total_elements"),
+        "op",
+        F.concat(F.lit("o_"), F.col("event_id").cast("string")).alias("o_id"),
+        F.concat(F.lit("o2_"), F.col("event_id").cast("string")).alias("o2_id"),
     )
+    return conditional_id(df).select("event_id", "id")
+
+
+@_q(
+    "p6_redact_diff",
+    f"""
+WITH j AS (
+  SELECT event_id, {_DIFF_JSON_SQL} AS dj FROM events
+)
+SELECT event_id,
+       'ns=db0.c op:u id=' || CAST(event_id AS VARCHAR) || ' some words diff=<doc: '
+       || CAST(2 + event_id % 3 AS VARCHAR) || ' fields, '
+       || CAST((event_id % 5 + 1) + 1 + (event_id % 3) AS VARCHAR) || ' elements, '
+       || CAST(strlen(dj) AS VARCHAR) || ' bytes>' AS redacted
+FROM j
+""",
+)
+def p6_redact_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — debug redaction (TailCommand.java:1179-1254): the embedded diff
+    JSON is replaced with a ``<doc: n fields, m elements, b bytes>``
+    summary.  The diff is CONSTRUCTED per row from event_id, so the oracle
+    derives the expected summary from the construction parameters — an
+    independent check of the UDF's parse/count/replace."""
+    from .operators.parse import redact_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    text = F.concat(
+        F.lit("ns=db0.c op:u id="),
+        F.col("event_id").cast("string"),
+        F.lit(" some words diff="),
+        _diff_json_expr(F.col("event_id")),
+    )
+    return ev.select("event_id", redact_diff(text).alias("redacted"))
 
 
 @_q(

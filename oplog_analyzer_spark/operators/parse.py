@@ -49,22 +49,29 @@ def grok_extract(text: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(StringType())
 def normalize_id(raw: pd.Series) -> pd.Series:
-    """P2 — id-to-string normalization (BaseOplogCommand.java:170-226).
+    """P2 — id-to-string normalization (BaseOplogCommand.java:170-226,
+    getIdString / IdStatisticsManager display parity).
 
-    The reference dispatches on BSON type: ObjectId/UUID → canonical string,
-    short binary → full hex, long binary → truncated hex + "...", numerics
-    and strings pass through.  Text ids arrive as strings; the equivalent
-    dispatch is shape-based and fully vectorized:
-      * 32-hex-digit → UUID canonical form (8-4-4-4-12, lowercase)
-      * >32-char hex → first 32 hex chars + "..." (truncation display,
-        BaseOplogCommand.java:210-218)
-      * everything else (decimal, plain string) → unchanged
+    The reference dispatches on BSON type: UUID-subtype binary → canonical
+    UUID string; other binary ≤16 bytes → full hex; >16 bytes → first
+    8 bytes of hex + "...(N bytes)" (BaseOplogCommand.java:199-206);
+    ObjectId → 24-hex; scalars/strings pass through.  Text ids arrive as
+    strings, so the dispatch is shape-based (documented mapping of the
+    type-based reference dispatch) and fully vectorized:
+      * exactly 32 hex digits (16 bytes) → UUID canonical form
+        (8-4-4-4-12, lowercase; standard byte order — a hex string carries
+        no legacy-subtype marker to trigger the legacy shuffle)
+      * even-length hex > 32 digits (binary > 16 bytes) → first 16 hex
+        chars + "...(N bytes)" with N = len/2, mirroring
+        ``toHexString(data, 8) + "..." + "(%d bytes)"``
+      * everything else (24-hex ObjectId form, short hex, decimal, plain
+        string) → unchanged, matching the STRING/OBJECT_ID passthrough
     """
     s = raw.astype("string")
     is_hex = s.str.fullmatch(r"[0-9a-fA-F]{16,}").fillna(False)
     lower = s.str.lower()
     uuid32 = is_hex & (s.str.len() == 32)
-    longhex = is_hex & (s.str.len() > 32)
+    longhex = is_hex & (s.str.len() > 32) & (s.str.len() % 2 == 0)
     out = s.copy()
     out[uuid32] = (
         lower[uuid32].str.slice(0, 8)
@@ -73,7 +80,12 @@ def normalize_id(raw: pd.Series) -> pd.Series:
         + "-" + lower[uuid32].str.slice(16, 20)
         + "-" + lower[uuid32].str.slice(20, 32)
     )
-    out[longhex] = lower[longhex].str.slice(0, 32) + "..."
+    out[longhex] = (
+        lower[longhex].str.slice(0, 16)
+        + "...("
+        + (s[longhex].str.len() // 2).astype("string")
+        + " bytes)"
+    )
     return out
 
 

@@ -194,3 +194,29 @@ def test_recommendations_compose_skew_and_patterns(spark):
     assert kinds[("collection", "heavy")] == "document bucketing or field-level updates"
     assert kinds[("collection", "small")] == "batching or aggregation pipeline updates"
     assert ("collection", "mid") not in kinds  # mixed → no recommendation
+
+
+def test_normalize_id_dispatch_shapes(spark):
+    """P2 display parity with BaseOplogCommand.getIdString (:170-226):
+    32-hex → UUID form; even-length >32-hex (binary >16 bytes) → first 8
+    BYTES of hex + '...(N bytes)'; 24-hex (ObjectId), short hex, decimals
+    and plain strings pass through."""
+    from oplog_analyzer_spark.operators.parse import normalize_id
+
+    rows = [
+        ("0123456789abcdef0123456789ABCDEF",),          # 32-hex → UUID
+        ("aa" * 20,),                                    # 40-hex → 16 + (20 bytes)
+        ("0123456789abcdef01234567",),                   # 24-hex ObjectId form
+        ("deadbeefdeadbeef",),                           # 16-hex string → unchanged
+        ("12345",),                                      # decimal
+        ("c00000042",),                                  # plain string (not hex: contains only hex chars? 'c' is hex... length 9 <16 → unchanged)
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    got = {r["raw"]: r["norm"] for r in df.select(
+        "raw", normalize_id("raw").alias("norm")).collect()}
+    assert got["0123456789abcdef0123456789ABCDEF"] == "01234567-89ab-cdef-0123-456789abcdef"
+    assert got["aa" * 20] == "aaaaaaaaaaaaaaaa...(20 bytes)"
+    assert got["0123456789abcdef01234567"] == "0123456789abcdef01234567"
+    assert got["deadbeefdeadbeef"] == "deadbeefdeadbeef"
+    assert got["12345"] == "12345"
+    assert got["c00000042"] == "c00000042"

@@ -107,3 +107,41 @@ def test_parse_filter_pushdown_before_udf(spark, tmp_path):
     ]
     assert filter_lines, plan
     assert "StartsWith" in plan
+
+
+def test_pipeline_batch_read_is_pruned_not_filtered(spark, transcripts, tmp_path):
+    """The batch DataFrame must be a pruned directory/file read — NOT a
+    computed-hash filter over the full input (which costs N full scans at
+    N batches)."""
+    from oplog_analyzer_spark import transcripts as T
+    from oplog_analyzer_spark.plans.pipeline import TranscriptPipeline
+
+    pipe = TranscriptPipeline(
+        spark, str(tmp_path / "wd"), T.tool_catalog(spark), num_batches=3
+    )
+    state = pipe._load_checkpoint()
+    pipe._stage(transcripts, state)
+    batch = pipe._batch_df(state, 0)
+    plan = plan_of(batch)
+    assert "xxhash64" not in plan            # no computed batch-id filter
+    assert "batch_id=0" in plan              # scans ONLY its own partition dir
+    # and the scan location does not cover other batches
+    assert "batch_id=1" not in plan
+
+
+def test_reassembly_two_phase_plan(spark, transcripts):
+    """Two-phase reassembly = two aggregate pairs: (conv, bucket) partials
+    then per-conv merge; single-phase has one pair."""
+    from oplog_analyzer_spark.operators.windows import reassemble_conversations
+
+    two = plan_of(reassemble_conversations(transcripts, bucket_span=8))
+    one = plan_of(reassemble_conversations(transcripts, bucket_span=None))
+    tree2 = two.split("\n\n")[0]
+    tree1 = one.split("\n\n")[0]
+    # sort_array(collect_list) is an ObjectHashAggregate; partial+final per phase
+    n2 = tree2.count("ObjectHashAggregate") + tree2.count("SortAggregate")
+    n1 = tree1.count("ObjectHashAggregate") + tree1.count("SortAggregate")
+    assert n2 == 4, two
+    assert n1 == 2, one
+    # phase-1 shuffle key includes the bucket → hot conv spreads
+    assert "__bucket" in two
