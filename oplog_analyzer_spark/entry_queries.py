@@ -1232,6 +1232,45 @@ def a17_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "s6_route_aggregate",
+    _OPLOG_CTE
+    + """
+, routed AS (
+  SELECT o.*, coalesce(d.category, 'uncat') AS category
+  FROM oplog o LEFT JOIN (
+    VALUES ('click', 'engage'), ('purchase', 'revenue'), ('error', 'ops')
+  ) AS d(ns, category) ON o.ns = d.ns
+)
+SELECT category, ns, count(*) AS op_count,
+       CAST(sum(CASE WHEN op = 'i' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+       CAST(sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_command,
+       count(DISTINCT conv_id) AS distinct_conv,
+       min(ts) AS min_ts, max(ts) AS max_ts,
+       CAST(sum(size) AS BIGINT) AS total_bytes
+FROM (SELECT *, id AS conv_id FROM routed)
+GROUP BY category, ns
+""",
+)
+def s6_route_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7 — the fan-out routing join + per-sink aggregate report on a
+    driver table: broadcast dim keyed on ns (tool analog) with the J1
+    default-category fallback (TailCommand.java:456-458), then the
+    OplogTailingAnalyzer-style per-(category, ns) accumulator
+    (exact-distinct form)."""
+    from .sources.sinks import per_sink_aggregates, route_categories
+
+    oplog = _oplogify(spark, sf_dir).withColumnRenamed("id", "conv_id")
+    dim = spark.sql(
+        "SELECT * FROM VALUES ('click', 'engage'), ('purchase', 'revenue'), "
+        "('error', 'ops') AS d(ns, category)"
+    )
+    routed = route_categories(oplog, dim, tool_col="ns")
+    return per_sink_aggregates(routed)
+
+
 # --- rows-only entries (hash-based / pipeline ops with no clean ANSI-SQL
 #     equivalent; verified instead by tests/test_functions.py oracles) -----
 
