@@ -1233,6 +1233,43 @@ def a17_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_keep_set",
+    r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), shing AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+), ex AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM shing
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+), dropped AS (
+  SELECT DISTINCT id_b FROM pairs WHERE inter >= (n_a + n_b - inter) * 0.5
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+""",
+)
+def dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution: resolve near-dup pairs (ngram-jaccard 0.5) into
+    the kept-id set — every id never appearing as the greater member of a
+    dup pair survives (one anti-join, functions/dedup.py:cluster_dedup_keep)."""
+    from .functions.dedup import cluster_dedup_keep, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    kept = cluster_dedup_keep(pairs, docs.select(F.col("doc_id").alias("id")))
+    return kept.select(F.col("id").alias("doc_id"))
+
+
+@_q(
     "s6_route_aggregate",
     _OPLOG_CTE
     + """
@@ -1326,7 +1363,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import lsh_bucket_topk
 
-    return lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), k=3)
+    return lsh_bucket_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        k=3, n_tables=2, multiprobe=True, max_bucket=4096,
+    )
 
 
 @_q("pipeline_per_sink_aggregates")

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def _dot(a: F.Column | str, b: F.Column | str) -> F.Column:
@@ -88,19 +88,26 @@ def lsh_signatures(
     planes: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """16-bit random-hyperplane signature per vector, one numpy matmul per
-    Arrow batch (vectorized pandas UDF — no per-row Python)."""
+    """Random-hyperplane signatures per vector — one per hash table — from
+    ONE numpy matmul per Arrow batch (vectorized pandas UDF, no per-row
+    Python).  ``planes`` has shape (dim, n_tables × bits); the output
+    ``sigs`` column is an int array of length n_tables."""
     planes_b = planes  # captured in the UDF closure, shipped once per task
+    bits_per = planes.shape[1] // n_tables
 
-    @pandas_udf(IntegerType())
-    def signature(vecs: pd.Series) -> pd.Series:
+    @pandas_udf(ArrayType(IntegerType()))
+    def signatures(vecs: pd.Series) -> pd.Series:
         mat = np.vstack(vecs.to_numpy())  # (batch, dim)
-        bits = (mat @ planes_b) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(planes_b.shape[1])).astype(np.int64)
-        return pd.Series(bits @ weights).astype("int32")
+        bits = (mat @ planes_b) > 0  # (batch, n_tables*bits_per)
+        w = (1 << np.arange(bits_per)).astype(np.int64)
+        out = np.empty((mat.shape[0], planes_b.shape[1] // bits_per), dtype=np.int32)
+        for t in range(out.shape[1]):
+            out[:, t] = bits[:, t * bits_per:(t + 1) * bits_per] @ w
+        return pd.Series(list(out))
 
-    return df.withColumn("bucket", signature(F.col(vec_col)))
+    return df.withColumn("sigs", signatures(F.col(vec_col)))
 
 
 def lsh_bucket_topk(
@@ -109,17 +116,77 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 12,
+    n_tables: int = 1,
+    multiprobe: bool = False,
+    max_bucket: int | None = None,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same LSH bucket,
-    exact cosine re-rank within bucket.  The self-join key is the bucket —
-    at scale this is the difference between a shuffle keyed on ~2^n_planes
-    uniform buckets and an O(n²) crossJoin."""
-    sigs = lsh_signatures(normalize(df, vec_col), make_planes(dim, n_planes, seed), id_col, vec_col)
-    a = sigs.select(F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket")
-    b = sigs.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("q_id") != F.col("c_id"))
+    """Approximate top-k: candidates restricted to LSH buckets, exact
+    cosine re-rank.  The join key is (table, bucket) — at scale this is the
+    difference between a shuffle keyed on ~n_tables·2^n_planes mostly
+    uniform buckets and an O(n²) crossJoin.
+
+    Recall levers (the single-table/no-probe recall cliff):
+      * ``n_tables`` — independent plane sets; a true neighbor is missed
+        only if it hashes apart in EVERY table (miss rate decays
+        exponentially in n_tables at linear index cost);
+      * ``multiprobe`` — queries also probe every hamming-1 neighbor of
+        their own bucket (n_planes extra probes per table), buying most of
+        another table's recall for zero extra index size.
+    Skew lever: ``max_bucket`` caps candidates per (table, bucket) by a
+    deterministic hash order — a degenerate hot bucket (near-identical
+    embeddings at web scale) otherwise goes quadratic.  Capping trades
+    bounded recall inside the hot bucket for a hard cost ceiling; the
+    dropped vectors still reachable through their other tables/probes.
+    """
+    planes = make_planes(dim, n_tables * n_planes, seed)
+    sigs = lsh_signatures(normalize(df, vec_col), planes, id_col, vec_col, n_tables)
+
+    corpus = sigs.select(
+        F.col(id_col).alias("c_id"),
+        F.col("v").alias("cv"),
+        F.posexplode("sigs").alias("table", "bucket"),
+    )
+    if max_bucket is not None:
+        cap_w = Window.partitionBy("table", "bucket").orderBy(
+            F.xxhash64(F.lit(seed), "c_id")
+        )
+        corpus = (
+            corpus.withColumn("__r", F.row_number().over(cap_w))
+            .filter(F.col("__r") <= max_bucket)
+            .drop("__r")
+        )
+
+    queries = sigs.select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.posexplode("sigs").alias("table", "bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        queries = queries.withColumn("bucket", F.explode(probes))
+
+    # candidate ids first (dedup across tables/probes), THEN gather vectors
+    # once per pair — the candidates→gather pattern keeps the distinct on
+    # narrow id pairs instead of wide embedding arrays
+    cand = (
+        queries.select("q_id", "table", "bucket")
+        .join(corpus.select("c_id", "table", "bucket"), ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    vecs = normalize(df, vec_col).select(F.col(id_col).alias("id"), "v")
+    pairs = (
+        cand.join(vecs.withColumnRenamed("v", "qv"), cand.q_id == F.col("id"))
+        .drop("id")
+        .join(vecs.withColumnRenamed("v", "cv"), cand.c_id == F.col("id"))
+        .drop("id")
+    )
     scored = pairs.select("q_id", "c_id", _dot("qv", "cv").alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (

@@ -299,3 +299,52 @@ def test_ngram_doc_freq_cap_sheds_only_hot_shingles(docs):
         for r in D.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=100).collect()
     }
     assert loose == exact
+
+
+def test_lsh_multitable_multiprobe_improves_recall(spark):
+    """Recall@1 vs brute force must improve (or at worst tie) when adding
+    tables and hamming-1 probes — the levers against the single-table
+    recall cliff."""
+    # clustered corpus — the regime ANN serves (near-dup/similar documents
+    # have high cosine); pure random gaussians have ~60° top-1 angles and
+    # defeat any hyperplane-LSH configuration by construction
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((80, 64))
+    mat = np.vstack([c + 0.15 * rng.standard_normal((5, 64)) for c in centers])
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    truth = {
+        r["q_id"]: r["nn_id"] for r in S.top1_neighbor(df, max_queries=60).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            r["q_id"]: r["c_id"]
+            for r in S.lsh_bucket_topk(df, k=1, n_planes=10, dim=64, **kw).collect()
+        }
+        hits = sum(1 for q, nn in truth.items() if got.get(q) == nn)
+        return hits / len(truth)
+
+    r1 = recall(n_tables=1)
+    r4p = recall(n_tables=4, multiprobe=True)
+    assert r4p >= r1
+    assert r4p >= 0.8  # 4 tables x 11 probes recover intra-cluster top-1s
+
+
+def test_lsh_max_bucket_caps_candidates_deterministically(spark):
+    """A degenerate hot bucket (identical vectors) must be capped: bounded
+    candidate count, deterministic results across runs."""
+    base = [1.0] + [0.0] * 63
+    rows = [(i, base) for i in range(50)] + [
+        (100 + i, [float(x) for x in np.random.default_rng(i).standard_normal(64)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped1 = S.lsh_bucket_topk(df, k=3, n_planes=8, dim=64, max_bucket=10)
+    capped2 = S.lsh_bucket_topk(df, k=3, n_planes=8, dim=64, max_bucket=10)
+    a = sorted(map(tuple, capped1.collect()))
+    assert a == sorted(map(tuple, capped2.collect()))
+    # hot-bucket queries see at most max_bucket-1 candidates (minus self)
+    per_q = capped1.groupBy("q_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_q <= 10
