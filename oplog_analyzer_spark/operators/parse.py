@@ -154,7 +154,9 @@ def parse_transcripts(df: DataFrame, with_diff_stats: bool = True) -> DataFrame:
     return out
 
 
-def unwind_applyops(df: DataFrame) -> DataFrame:
+def unwind_applyops(
+    df: DataFrame, keep_parent: bool = False, only_cmd_ns: bool = False
+) -> DataFrame:
     """X1 — applyOps unwind (TailCommand.java:637-668).
 
     Command rows carrying a batch marker explode into one row per inner op
@@ -162,45 +164,48 @@ def unwind_applyops(df: DataFrame) -> DataFrame:
     **integer division** ``size / k`` — replicated exactly with floor on
     longs (TailCommand.java:657).  Non-batch rows pass through unchanged.
 
-    Documented divergences from the reference:
-      * the reference accumulates the parent ``$cmd`` entry AND the inner
-        ops (TailCommand.java:648-650 + the else branch ~695); here the
-        parent row is REPLACED by its inner rows — the routed-row-equality
-        invariant wants each logical op exactly once;
-      * the reference only unwinds namespaces ending in ``.$cmd`` and
-        re-applies the namespace include-list to inner namespaces
-        (TailCommand.java:637-650); here any command row with a ``sub``
-        marker unwinds and inner namespaces are not re-filtered — callers
-        that need inner-ns filtering apply include_namespaces() AFTER the
-        unwind (order is explicit in the pipeline, not baked in).
+    Default-mode divergences from the reference, each recoverable via a
+    flag:
+      * ``keep_parent=True`` reproduces the reference's accumulation of the
+        parent ``$cmd`` entry ALONGSIDE the inner ops
+        (TailCommand.java:648-650 + the else branch ~695); the default
+        replaces the parent with its inner rows because the routed-row
+        -equality invariant wants each logical op exactly once;
+      * ``only_cmd_ns=True`` reproduces the reference's gate that only
+        namespaces ending in ``.$cmd`` unwind (TailCommand.java:637-650);
+        the default unwinds any command row carrying a ``sub`` marker.
+    Inner-namespace include-list filtering is applied by callers AFTER the
+    unwind (order explicit in the pipeline, not baked in).
 
     Single-pass formulation: every row maps to an array of (ns, op, size)
-    structs — length 1 for plain rows, length k for batch rows — then one
-    explode.  No filter+union (which would scan and re-evaluate the parse
-    UDFs once per branch).
+    structs — length 1 for plain rows, length k (or k+1) for batch rows —
+    then one explode.  No filter+union (which would scan and re-evaluate
+    the parse UDFs once per branch).
     """
     has_batch = (F.col("op") == "c") & (F.col("sub") != "")
+    if only_cmd_ns:
+        has_batch = has_batch & F.col("ns").endswith(".$cmd")
     subs = F.split("sub", ";")
     k = F.size(subs)
-    inner_arr = F.when(
-        has_batch,
-        F.transform(
-            subs,
-            lambda s: F.struct(
-                F.split(s, "/")[0].alias("ns"),
-                F.split(s, "/")[1].alias("op"),
-                F.floor(F.col("size") / k).cast("long").alias("size"),
-            ),
-        ),
-    ).otherwise(
-        F.array(
-            F.struct(
-                F.col("ns").alias("ns"),
-                F.col("op").alias("op"),
-                F.col("size").alias("size"),
-            )
-        )
+    parent_struct = F.struct(
+        F.col("ns").alias("ns"),
+        F.col("op").alias("op"),
+        F.col("size").alias("size"),
     )
+    inner_structs = F.transform(
+        subs,
+        lambda s: F.struct(
+            F.split(s, "/")[0].alias("ns"),
+            F.split(s, "/")[1].alias("op"),
+            F.floor(F.col("size") / k).cast("long").alias("size"),
+        ),
+    )
+    batch_arr = (
+        F.concat(F.array(parent_struct), inner_structs)
+        if keep_parent
+        else inner_structs
+    )
+    inner_arr = F.when(has_batch, batch_arr).otherwise(F.array(parent_struct))
     # materialize the array in its own Project first: the expression then
     # runs inside whole-stage codegen and Generate only explodes a ready
     # column (embedding the CASE/transform in explode() evaluates it in the

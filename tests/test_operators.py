@@ -220,3 +220,32 @@ def test_normalize_id_dispatch_shapes(spark):
     assert got["deadbeefdeadbeef"] == "deadbeefdeadbeef"
     assert got["12345"] == "12345"
     assert got["c00000042"] == "c00000042"
+
+
+def test_humanize_bytes_matches_integer_reference(spark):
+    """Engine-exact humanization: compare against an independent integer
+    implementation over boundaries, ties (1280/1024 = 1.25 — the value
+    where Java HALF_UP and C printf half-even disagree), and a random
+    sweep."""
+    import random
+
+    from oplog_analyzer_spark.operators.display import humanize_bytes
+
+    def ref(b: int) -> str:
+        if b < 1024:
+            return f"{b} B"
+        for div, unit in ((1024, "KB"), (1024**2, "MB"), (1024**3, "GB")):
+            if b < div * 1024 or unit == "GB":
+                t = (b * 10 + div // 2) // div
+                return f"{t // 10}.{t % 10} {unit}"
+
+    rng = random.Random(7)
+    vals = (
+        [0, 1, 1023, 1024, 1025, 1280, 1048575, 1048576, 1073741823,
+         1073741824, 5 * 1024**3 + 512 * 1024**2]
+        + [rng.randrange(0, 1 << 40) for _ in range(200)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "b long")
+    got = {r["b"]: r["h"] for r in df.select("b", humanize_bytes("b").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == ref(v), (v, got[v], ref(v))

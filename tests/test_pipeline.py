@@ -229,3 +229,34 @@ def test_pipeline_skips_completed_batches(spark, transcripts, tmp_path):
     s2 = pipe.run(transcripts)  # second run: all batches already complete
     wall2 = {k: v["wall_sec"] for k, v in s2["completed"].items()}
     assert wall1 == wall2  # untouched checkpoint entries → nothing re-ran
+
+
+def test_unwind_parity_modes(spark):
+    """keep_parent/only_cmd_ns recover the reference's exact unwind
+    semantics (TailCommand.java:637-668 + ~695)."""
+    df = spark.createDataFrame(
+        [
+            ("x.$cmd", "c", "a.b/i;c.d/u", 100),   # $cmd batch
+            ("x.other", "c", "e.f/i", 60),          # batch marker, non-$cmd ns
+            ("x.y", "i", "", 50),                   # plain row
+        ],
+        "ns string, op string, sub string, size long",
+    )
+    # reference mode: parent kept, only .$cmd unwinds
+    ref = sorted(
+        (r["ns"], r["op"], r["size"])
+        for r in unwind_applyops(df, keep_parent=True, only_cmd_ns=True).collect()
+    )
+    assert ref == [
+        ("a.b", "i", 50), ("c.d", "u", 50),
+        ("x.$cmd", "c", 100),               # parent accumulated too
+        ("x.other", "c", 60),               # non-$cmd ns NOT unwound
+        ("x.y", "i", 50),
+    ]
+    # default mode: parent replaced, any sub-marked command unwinds
+    dflt = sorted(
+        (r["ns"], r["op"], r["size"]) for r in unwind_applyops(df).collect()
+    )
+    assert dflt == [
+        ("a.b", "i", 50), ("c.d", "u", 50), ("e.f", "i", 60), ("x.y", "i", 50),
+    ]
