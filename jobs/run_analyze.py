@@ -1,0 +1,72 @@
+"""spark-submit entry point: workload analysis + recommendations.
+
+The `analyze` command analog (AnalyzeCommand.java:380-533): per-shard
+workload buckets (A16), shard-skew deviation (A13), collection pattern
+classification (A12), per-(ns,id) update frequency (A10), cross-shard
+comparison (A14), and the composed recommendation layer (A17).
+
+  spark-submit --py-files dist/oplog_analyzer_spark.zip jobs/run_analyze.py \
+    --input <dir> [--shards N] [--heavy-avg B] [--frequent-ops N] [--small-avg B]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--shards", type=int, default=4,
+                    help="synthesize shard = xxhash(conv_id) %% N when the "
+                         "input has no shard column")
+    ap.add_argument("--heavy-avg", type=float, default=5000.0)
+    ap.add_argument("--frequent-ops", type=int, default=10000)
+    ap.add_argument("--small-avg", type=float, default=1000.0)
+    ap.add_argument("--top-ids", type=int, default=20)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from oplog_analyzer_spark.operators import aggregate as A
+    from oplog_analyzer_spark.operators.display import console_report
+    from oplog_analyzer_spark.operators.filters import exclude_system_namespaces
+    from oplog_analyzer_spark.operators.parse import parse_transcripts, unwind_applyops
+    from oplog_analyzer_spark.session import get_spark
+
+    spark = get_spark(master=None, app_name="oplog-analyze")
+    df = unwind_applyops(
+        exclude_system_namespaces(parse_transcripts(spark.read.parquet(args.input)))
+    )
+    if "shard" not in df.columns:
+        df = df.withColumn(
+            "shard", F.pmod(F.xxhash64("conv_id"), F.lit(args.shards)).cast("int")
+        )
+
+    print("--- SHARD SKEW (A13) ---")
+    print(console_report(A.shard_skew(df, "shard")))
+    print("\n--- WORKLOAD GROUPS (A16) ---")
+    per_shard = df.groupBy(F.col("shard")).agg(
+        F.count(F.lit(1)).alias("ops"), F.sum("size").alias("bytes")
+    )
+    print(console_report(A.workload_buckets(per_shard)))
+    print("\n--- COLLECTION PATTERNS (A12) ---")
+    print(console_report(A.classify_collections(
+        df, heavy_avg=args.heavy_avg, frequent_ops=args.frequent_ops,
+        small_avg=args.small_avg,
+    ).orderBy(F.desc("total_bytes"))))
+    print("\n--- TOP UPDATED IDS (A10) ---")
+    print(console_report(
+        A.update_frequency(df).orderBy(F.desc("update_count")).limit(args.top_ids)
+    ))
+    print("\n--- CROSS-SHARD COMPARISON (A14) ---")
+    print(console_report(A.cross_shard_comparison(df, "shard")))
+    print("\n=== OPTIMIZATION RECOMMENDATIONS (A17) ===")
+    print(console_report(A.recommendations(
+        df, "shard", heavy_avg=args.heavy_avg,
+        frequent_ops=args.frequent_ops, small_avg=args.small_avg,
+    )))
+
+
+if __name__ == "__main__":
+    main()

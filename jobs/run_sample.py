@@ -1,0 +1,50 @@
+"""spark-submit entry point: distinct-id sampling + stats JSON.
+
+The `sample` command analog (SampleCommand.java:275-290, 527-592): admit
+the first N distinct ids per (shard, ns), keep every later row of an
+admitted id ("follow existing documents"), report per-(ns,op) stats over
+the sample and serialize them to a JSON-lines stats file for later re-join
+(J2, AnalyzeCommand.java:763-822).
+
+  spark-submit --py-files dist/oplog_analyzer_spark.zip jobs/run_sample.py \
+    --input <dir> --stats-out <dir> [--ids-per-group N] [--shards N]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--stats-out", required=True)
+    ap.add_argument("--ids-per-group", type=int, default=10)
+    ap.add_argument("--shards", type=int, default=4)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from oplog_analyzer_spark.operators.aggregate import ns_op_report
+    from oplog_analyzer_spark.operators.display import console_report
+    from oplog_analyzer_spark.operators.filters import exclude_system_namespaces
+    from oplog_analyzer_spark.operators.parse import parse_transcripts
+    from oplog_analyzer_spark.operators.windows import first_n_distinct_per_group
+    from oplog_analyzer_spark.session import get_spark
+    from oplog_analyzer_spark.sources.stats_json import write_stats_json
+
+    spark = get_spark(master=None, app_name="oplog-sample")
+    df = exclude_system_namespaces(parse_transcripts(spark.read.parquet(args.input)))
+    df = df.withColumn(
+        "shard", F.pmod(F.xxhash64("conv_id"), F.lit(args.shards)).cast("int")
+    )
+    sampled = first_n_distinct_per_group(
+        df, ["shard", "ns"], "id", args.ids_per_group, "ts"
+    )
+    report = ns_op_report(sampled)
+    write_stats_json(report, args.stats_out)
+    print(console_report(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Command-surface smoke tests: each reference command (scan / analyze /
+tail / sample / pipeline) has a spark-submit entry point that runs
+end-to-end on a tiny corpus.  get_spark reuses the test session via
+getOrCreate."""
+
+from __future__ import annotations
+
+import sys
+
+from oplog_analyzer_spark import transcripts as T
+
+
+def _run(main, argv: list[str], monkeypatch, capsys) -> str:
+    monkeypatch.setattr(sys, "argv", ["prog", *argv])
+    main()
+    return capsys.readouterr().out
+
+
+def test_run_scan_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
+    src = str(tmp_path / "src")
+    transcripts.write.parquet(src)
+    from jobs.run_scan import main
+
+    out = _run(main, ["--input", src, "--ops", "i,u", "--buckets", "90,120"], monkeypatch, capsys)
+    assert "total_size" in out and "gt_90" in out
+    assert " c " not in out  # command ops filtered by --ops
+
+
+def test_run_analyze_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
+    src = str(tmp_path / "src2")
+    transcripts.write.parquet(src)
+    from jobs.run_analyze import main
+
+    out = _run(
+        main,
+        ["--input", src, "--heavy-avg", "100", "--frequent-ops", "10",
+         "--small-avg", "95"],
+        monkeypatch, capsys,
+    )
+    for section in ("SHARD SKEW", "WORKLOAD GROUPS", "COLLECTION PATTERNS",
+                    "RECOMMENDATIONS"):
+        assert section in out
+
+
+def test_run_tail_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
+    src = str(tmp_path / "src3")
+    transcripts.write.parquet(src)
+    from jobs.run_tail import main
+
+    out = _run(
+        main,
+        ["--input", src, "--work-dir", str(tmp_path / "wd"),
+         "--lag-wallclock", "2025-06-01 00:00:00"],
+        monkeypatch, capsys,
+    )
+    assert "total_size" in out and "lag_sec" in out
+    out2 = _run(
+        main,
+        ["--input", src, "--work-dir", str(tmp_path / "wd_state"), "--stateful"],
+        monkeypatch, capsys,
+    )
+    assert "avg_size" in out2
+
+
+def test_run_sample_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
+    src = str(tmp_path / "src4")
+    transcripts.write.parquet(src)
+    from jobs.run_sample import main
+
+    stats_out = str(tmp_path / "stats")
+    out = _run(
+        main,
+        ["--input", src, "--stats-out", stats_out, "--ids-per-group", "3"],
+        monkeypatch, capsys,
+    )
+    assert "total_size" in out
+    # stats JSON round-trips (S9)
+    reloaded = spark.read.json(stats_out)
+    assert reloaded.count() > 0 and "total_size" in reloaded.columns
