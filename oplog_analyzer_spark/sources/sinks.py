@@ -21,6 +21,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """Probe for the iceberg-spark-runtime jar on the session's classpath.
+
+    The north_rule names Iceberg sinks; this sandbox ships no
+    iceberg-spark-runtime jar and has no network to fetch one
+    (spark.jars.packages needs a resolver), so the probe returns False here
+    and the writers below fall back to identically-laid-out parquet
+    directories.  On a cluster with the jar present, pass
+    ``format="iceberg"`` to write_routed and the same code writes Iceberg
+    tables (plus a catalog config in spark-defaults).
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def route_categories(
     df: DataFrame,
     tool_catalog: DataFrame,
@@ -41,6 +61,7 @@ def route_categories(
 def write_routed(
     df: DataFrame, out_dir: str, mode: str = "overwrite",
     target_partitions: int | None = None,
+    format: str = "parquet",
 ) -> None:
     """S6 — fan-out sink: one directory per category, per-task parquet
     writers (the scale path for 10^12 rows — each task streams to its own
@@ -55,7 +76,11 @@ def write_routed(
     """
     if target_partitions:
         df = df.coalesce(target_partitions)
-    df.write.mode(mode).partitionBy("category").parquet(out_dir)
+    writer = df.write.mode(mode).partitionBy("category").format(format)
+    if format == "iceberg":  # out_dir is a table identifier in this case
+        writer.saveAsTable(out_dir)
+    else:
+        writer.save(out_dir)
 
 
 def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:

