@@ -24,6 +24,19 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_all_queries_run_small(spark):
-    for name, fn in E.queries().items():
-        df = fn(spark, SF_SMALL)
-        assert df.count() >= 0, name
+    """Every queries() entry analyzes AND executes at sf0.001.  Counts are
+    submitted from a thread pool — Spark job submission is thread-safe and
+    overlapping the per-query scheduling/codegen overhead cuts this smoke
+    from ~430s to a fraction (the driver re-executes everything at sf0.01
+    against the oracles anyway)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfs = {name: fn(spark, SF_SMALL) for name, fn in E.queries().items()}  # analysis
+
+    def run(item):
+        name, df = item
+        return name, df.count()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, n in pool.map(run, dfs.items()):
+            assert n >= 0, name
