@@ -42,9 +42,10 @@ _GROK_RE = re.compile(r"ns=(?P<ns>[a-zA-Z0-9_.$]+) op:(?P<op>[iudcn]) id=(?P<id>
 )
 def grok_extract(text: pd.Series) -> pd.DataFrame:
     """Multi-group grok in one vectorized pass (``Series.str.extract`` with
-    a precompiled pattern compiles to one C-level scan per Arrow batch)."""
-    out = text.str.extract(_GROK_RE)
-    return out
+    a precompiled pattern compiles to one C-level scan per Arrow batch).
+    Non-matching rows yield "" to match ``regexp_extract``'s no-match
+    behavior, so both parse paths are value-identical."""
+    return text.str.extract(_GROK_RE).fillna("")
 
 
 @pandas_udf(StringType())
@@ -128,22 +129,41 @@ def diff_stats(blocks: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"diff_fields": fields, "total_elements": elements})
 
 
-def parse_transcripts(df: DataFrame, with_diff_stats: bool = True) -> DataFrame:
+def parse_transcripts(
+    df: DataFrame, with_diff_stats: bool = True, grok_udf: bool = False
+) -> DataFrame:
     """Full parse stage: text → (ns, op, id, size, diff_fields,
     total_elements, sub) derived columns.
 
-    Cheap native extractions run first so Catalyst can prune/push them;
-    the pandas-UDF diff counter runs after (and only reads ``text``).
+    Two equivalent extraction paths (pytest-asserted identical):
+      * default — native ``regexp_extract`` per field: stays inside
+        whole-stage codegen, lets Catalyst prune unused fields entirely
+        (a count() never evaluates them);
+      * ``grok_udf=True`` — ONE vectorized pandas UDF extracts ns/op/id in
+        a single compiled-regex pass per Arrow batch: fewer scans over the
+        text bytes, the right trade when all fields are consumed anyway and
+        the grok pattern grows beyond what per-field regexes express.
     ``size`` is the raw byte length — the reference's universal size
     measure ``doc.getByteBuffer().remaining()`` (BaseOplogCommand.java:92).
     """
-    out = (
-        df.withColumn("ns", F.regexp_extract("text", _NS_RE, 1))
-        .withColumn("op", F.regexp_extract("text", _OP_RE, 1))
-        .withColumn("id", normalize_id(F.regexp_extract("text", _ID_RE, 1)))
-        .withColumn("size", F.octet_length("text").cast("long"))
-        .withColumn("sub", F.regexp_extract("text", r"sub:(\S+)", 1))
-    )
+    if grok_udf:
+        out = (
+            df.withColumn("_g", grok_extract("text"))
+            .withColumn("ns", F.col("_g.ns"))
+            .withColumn("op", F.col("_g.op"))
+            .withColumn("id", normalize_id(F.col("_g.id")))
+            .drop("_g")
+            .withColumn("size", F.octet_length("text").cast("long"))
+            .withColumn("sub", F.regexp_extract("text", r"sub:(\S+)", 1))
+        )
+    else:
+        out = (
+            df.withColumn("ns", F.regexp_extract("text", _NS_RE, 1))
+            .withColumn("op", F.regexp_extract("text", _OP_RE, 1))
+            .withColumn("id", normalize_id(F.regexp_extract("text", _ID_RE, 1)))
+            .withColumn("size", F.octet_length("text").cast("long"))
+            .withColumn("sub", F.regexp_extract("text", r"sub:(\S+)", 1))
+        )
     if with_diff_stats:
         # struct column kept intact (see diff_stats docstring); downstream
         # reads diff.diff_fields / diff.total_elements — free once written

@@ -15,8 +15,6 @@ one-line change (SURVEY.md §7.5.6).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,10 +81,6 @@ def write_routed(
         writer.save(out_dir)
 
 
-def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(out_dir)
-
-
 def per_sink_aggregates(routed: DataFrame, exact_distinct: bool = True) -> DataFrame:
     """S7 analog — per-sink aggregate report (north_star): per (category,
     ns): op counts, distinct conv_id, min/max ts.  Mirrors the
@@ -115,12 +109,3 @@ def per_sink_aggregates(routed: DataFrame, exact_distinct: bool = True) -> DataF
         F.max("ts").alias("max_ts"),
         F.sum("size").alias("total_bytes"),
     )
-
-
-def write_metrics(df: DataFrame, metrics_dir: str, batch_id: int | None = None) -> None:
-    """T3/S7 — metrics table sink; appended per batch for lineage."""
-    out = df
-    if batch_id is not None:
-        out = out.withColumn("batch_id", F.lit(batch_id))
-    path = os.path.join(metrics_dir)
-    out.write.mode("append").parquet(path)

@@ -260,3 +260,26 @@ def test_unwind_parity_modes(spark):
     assert dflt == [
         ("a.b", "i", 50), ("c.d", "u", 50), ("e.f", "i", 60), ("x.y", "i", 50),
     ]
+
+
+def test_grok_udf_path_equals_native(spark, transcripts):
+    """The single-pass grok UDF path extracts identically to the native
+    per-field regexp_extract path (including no-match rows → '')."""
+    cols = ["conv_id", "turn_idx", "ns", "op", "id", "size", "sub"]
+    a = sorted(map(tuple, parse_transcripts(transcripts).select(cols).collect()))
+    b = sorted(
+        map(tuple, parse_transcripts(transcripts, grok_udf=True).select(cols).collect())
+    )
+    assert a == b
+
+
+def test_role_catalog_enrich_consistency(spark, transcripts):
+    """The role→op-class broadcast dimension (north_star enrich on role):
+    every parsed row's op equals its role's op_class after the lookup."""
+    from oplog_analyzer_spark.operators.parse import parse_transcripts
+
+    parsed = parse_transcripts(transcripts, with_diff_stats=False)
+    dim = T.role_catalog(spark)
+    joined = parsed.join(F.broadcast(dim), on="role", how="left")
+    assert joined.filter(F.col("op_class").isNull()).count() == 0
+    assert joined.filter(F.col("op") != F.col("op_class")).count() == 0
