@@ -24,6 +24,13 @@ def main() -> None:
     ap.add_argument("--frequent-ops", type=int, default=10000)
     ap.add_argument("--small-avg", type=float, default=1000.0)
     ap.add_argument("--top-ids", type=int, default=20)
+    ap.add_argument(
+        "--unwind-mode", choices=("parity", "routed"), default="parity",
+        help="applyOps unwind semantics: 'parity' replicates the reference "
+        "(parent $cmd entry kept alongside inner ops, only *.$cmd "
+        "namespaces unwind, system ns re-excluded after the unwind — "
+        "TailCommand.java:637-668); 'routed' emits each logical op once",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -35,9 +42,13 @@ def main() -> None:
     from oplog_analyzer_spark.session import get_spark
 
     spark = get_spark(master=None, app_name="oplog-analyze")
+    parity = args.unwind_mode == "parity"
     df = unwind_applyops(
-        exclude_system_namespaces(parse_transcripts(spark.read.parquet(args.input)))
+        exclude_system_namespaces(parse_transcripts(spark.read.parquet(args.input))),
+        keep_parent=parity, only_cmd_ns=parity,
     )
+    if parity:
+        df = exclude_system_namespaces(df)
     if "shard" not in df.columns:
         df = df.withColumn(
             "shard", F.pmod(F.xxhash64("conv_id"), F.lit(args.shards)).cast("int")

@@ -26,6 +26,15 @@ def main() -> None:
     ap.add_argument("--max-size", type=int)
     ap.add_argument("--limit", type=int, help="row limit (F7)")
     ap.add_argument("--buckets", help="comma-separated size thresholds (A3)")
+    ap.add_argument(
+        "--unwind-mode", choices=("parity", "routed"), default="parity",
+        help="applyOps unwind semantics: 'parity' replicates the reference "
+        "(parent $cmd entry accumulated ALONGSIDE inner ops, only *.$cmd "
+        "namespaces unwind, system namespaces re-excluded after the unwind "
+        "— TailCommand.java:637-668); 'routed' emits each logical op "
+        "exactly once (any sub-marked command unwinds, parent replaced) — "
+        "the routed-row-equality form the pipeline uses",
+    )
     args = ap.parse_args()
 
     from oplog_analyzer_spark.operators import filters as FL
@@ -38,7 +47,15 @@ def main() -> None:
     spark = get_spark(master=None, app_name="oplog-scan")
     df = spark.read.parquet(args.input)
     df = time_range_scan(df, "ts", args.start, args.end)
-    df = unwind_applyops(FL.exclude_system_namespaces(parse_transcripts(df)))
+    parity = args.unwind_mode == "parity"
+    df = unwind_applyops(
+        FL.exclude_system_namespaces(parse_transcripts(df)),
+        keep_parent=parity, only_cmd_ns=parity,
+    )
+    if parity:
+        # inner applyOps namespaces can be system ns too — the reference
+        # filters them AFTER the unwind (TailCommand.java:637-668)
+        df = FL.exclude_system_namespaces(df)
     if args.ns:
         df = FL.include_namespaces(df, args.ns.split(","))
     if args.ops:

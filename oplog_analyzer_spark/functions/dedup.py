@@ -143,6 +143,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs: band the signature, bucket-join on
     (band_idx, band_hash), verify candidates with exact jaccard over the
@@ -150,8 +151,22 @@ def minhash_lsh_pairs(
 
     Shuffle profile: one explode to (doc × bands) rows, one shuffled join
     keyed by band hash — the only all-to-all step, and its key space is
-    uniform because band hashes are hashes.  Candidate verification joins
-    back to the (small) candidate set — broadcast when it fits.
+    uniform FOR DISTINCT TEXTS because band hashes are hashes.  Candidate
+    verification joins back to the (small) candidate set — broadcast when
+    it fits.
+
+    Skew lever: a web corpus has millions of byte-identical documents; they
+    share every band hash, so one bucket holds all of them and the
+    self-join goes quadratic (d²/2 pairs for d clones).  ``max_bucket``
+    caps each (band, bucket) to that many members chosen by a
+    DETERMINISTIC hash order (same cap pattern as
+    similarity.lsh_bucket_topk): cost gets a hard ceiling, and because
+    every surviving bucket member still pairs with the cap set, the clone
+    cluster stays connected through the capped representatives (transitive
+    dedup via cluster_dedup_keep).  Recall inside a >max_bucket bucket is
+    bounded, not exact — run ``exact_dedup`` first to collapse
+    byte-identical clones if exact clone handling is required.  Default
+    None = exact (the pytest-oracled form).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -171,6 +186,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        cap_w = Window.partitionBy("band", "bucket").orderBy(
+            F.xxhash64(F.lit(0), "id")
+        )
+        banded = (
+            banded.withColumn("__r", F.row_number().over(cap_w))
+            .filter(F.col("__r") <= max_bucket)
+            .drop("__r")
+        )
     cand = (
         banded.alias("x")
         .join(

@@ -360,7 +360,7 @@ def recommendations(
 
 def workload_buckets(
     per_shard: DataFrame,
-    avg_bytes_threshold: int = 2000,
+    avg_bytes_threshold: float = 2000.0,
 ) -> DataFrame:
     """A16 — shards bucketed heavy/light by avg bytes per op
     (AnalyzeCommand.java:405-437); expects A13's per-shard aggregate."""

@@ -90,6 +90,45 @@ def normalize_id(raw: pd.Series) -> pd.Series:
     return out
 
 
+@pandas_udf(StringType())
+def binary_id_string(data: pd.Series, subtype: pd.Series) -> pd.Series:
+    """P2 (binary variant) — getIdString over a TRUE binary ``_id`` column
+    with its BSON binary subtype (BaseOplogCommand.java:170-226):
+
+      * subtype 4 (UUID_STANDARD) → canonical UUID string, bytes in order;
+      * subtype 3 (UUID_LEGACY, Java driver encoding) → each 8-byte half
+        is stored little-endian, so DECODE reverses bytes 0-7 and 8-15
+        independently before formatting (BsonUuidUtil.convertBsonBinaryToUuid
+        semantics for the legacy Java byte shuffle); malformed UUID payloads
+        (length ≠ 16) fall back to hex, mirroring the reference's
+        try/catch;
+      * any other subtype: ≤16 bytes → full lowercase hex; >16 bytes →
+        first 8 bytes of hex + "...(N bytes)" (java:199-206);
+      * null → "null" (java:171-173).
+
+    Arrow gives the batch as a Series of ``bytes``; the per-element loop
+    touches only id-sized payloads (≤ dozens of bytes), vectorization
+    gains nothing over the Arrow batching itself.
+    """
+    import uuid
+
+    def one(b, st) -> str:
+        if b is None:
+            return "null"
+        bb = bytes(b)
+        if st in (3, 4) and len(bb) == 16:
+            if st == 3:
+                bb = bb[7::-1] + bb[:7:-1]  # reverse each 8-byte half
+            return str(uuid.UUID(bytes=bb))
+        if len(bb) <= 16:
+            return bb.hex()
+        return bb[:8].hex() + f"...({len(bb)} bytes)"
+
+    return pd.Series(
+        [one(b, st) for b, st in zip(data, subtype)], index=data.index, dtype="object"
+    )
+
+
 def _count_elements(obj) -> int:
     """Recursive element count — documents/arrays traversed, scalars
     counted (TailCommand.java:1304-1332)."""

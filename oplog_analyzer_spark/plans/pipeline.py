@@ -161,6 +161,22 @@ class TranscriptPipeline:
         3-stage shutdown drill, TailCommand.java:817-921).
         """
         state = self._load_checkpoint()
+        # Refuse silent mode-mixing: a work_dir planned in one batch mode
+        # (staged-DataFrame vs file-group) re-run in the other would keep
+        # the old completed entries, plan fresh batches, and skip every
+        # one — new input silently never processed (ADVICE r02).  Same
+        # adopt-or-raise posture as the num_batches guard above.
+        mode = "file_groups" if input_path is not None else "staged"
+        prior = state.get("mode")
+        if prior is not None and prior != mode:
+            raise ValueError(
+                f"work_dir {self.work_dir!r} was checkpointed in "
+                f"{prior!r} batch mode; resuming it in {mode!r} mode would "
+                "skip its completed batches against a different batch plan "
+                "— use a fresh work_dir (or resume with the original input "
+                "form)"
+            )
+        state["mode"] = mode
         if input_path is not None:
             if "file_groups" not in state:
                 self._plan_file_groups(input_path, state)
@@ -203,9 +219,25 @@ class TranscriptPipeline:
                 raise RuntimeError(f"injected failure after batch {b}")
         return state
 
+    def _has_routed_output(self) -> bool:
+        """True when at least one completed batch wrote a routed directory
+        (a run whose every file group was empty has completed entries with
+        ``path: None`` and NO batch=* directory — reading the glob would
+        raise instead of reporting zero rows, ADVICE r02)."""
+        state = self._load_checkpoint()
+        return any(v.get("path") for v in state.get("completed", {}).values())
+
     def routed(self) -> DataFrame:
         """All routed rows across batches (category read back from the
-        partition directory)."""
+        partition directory); empty-but-correctly-typed when no batch
+        produced output."""
+        if not self._has_routed_output():
+            return self.spark.createDataFrame(
+                [],
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp, ns string, op string, size long, "
+                "sub string, category string",
+            )
         return self.spark.read.option("basePath", self.routed_dir).parquet(
             os.path.join(self.routed_dir, "batch=*")
         )

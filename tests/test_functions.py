@@ -65,6 +65,43 @@ def test_minhash_jaccard_estimate_matches_exact(docs):
         assert exact[k] == v
 
 
+def test_minhash_max_bucket_caps_identical_doc_flood(spark, docs):
+    """50 byte-identical docs share every band hash → one hot bucket whose
+    self-join is quadratic (1225 pairs).  max_bucket bounds it: only the
+    deterministically-chosen cap set pairs up, results identical across
+    runs, and true near-dups among DISTINCT docs are unaffected."""
+    flood = spark.createDataFrame(
+        [(1000 + i, "clone clone clone of the very same document text body") for i in range(50)],
+        "doc_id long, text string",
+    )
+    df = docs.unionAll(flood)
+    capped1 = D.minhash_lsh_pairs(df, threshold=0.5, max_bucket=10)
+    capped2 = D.minhash_lsh_pairs(df, threshold=0.5, max_bucket=10)
+    rows1 = sorted(map(tuple, capped1.collect()))
+    assert rows1 == sorted(map(tuple, capped2.collect()))
+    clone_pairs = [(a, b) for a, b, *_ in rows1 if a >= 1000 and b >= 1000]
+    # cap set of 10 members → at most C(10,2)=45 clone pairs, not 1225
+    assert 0 < len(clone_pairs) <= 45
+    # the planted near-dups among distinct docs still surface
+    pairs = {(a, b) for a, b, *_ in rows1}
+    assert (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_embedding_neardup_production_threshold(spark):
+    """The production threshold=0.9 path on planted vectors: one pair above
+    0.9, one in [0.4, 0.9) that must be excluded (keeps the 0.9 branch
+    covered now that the driver oracle runs at 0.4 — ADVICE r02)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0, 0.0]),   # cosine ≈ 0.990 vs id 0
+        (2, [0.6, 0.8, 0.0, 0.0]),     # cosine 0.6 vs id 0 — below 0.9
+        (3, [0.0, 0.0, 1.0, 0.0]),     # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert got == {(0, 1)}
+
+
 def test_simhash_near_dup(spark):
     # simhash needs enough tokens for per-bit majority votes to be stable;
     # one word changed out of ~50 → hamming ≈ 1, unrelated doc ≈ 28

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import sys
 
+from pyspark.sql import functions as F
+
 from oplog_analyzer_spark import transcripts as T
 
 
@@ -24,6 +26,33 @@ def test_run_scan_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
     out = _run(main, ["--input", src, "--ops", "i,u", "--buckets", "90,120"], monkeypatch, capsys)
     assert "total_size" in out and "gt_90" in out
     assert " c " not in out  # command ops filtered by --ops
+
+
+def test_run_scan_cli_parity_unwind(spark, tmp_path, monkeypatch, capsys):
+    """The default --unwind-mode parity must keep the parent $cmd entry,
+    unwind only *.$cmd namespaces, and exclude inner config.* namespaces
+    AFTER the unwind (ADVICE r02; TailCommand.java:637-668)."""
+    rows = [
+        # $cmd batch: parent kept + inner ops, inner config.* dropped
+        ("c1", 0, "system", "ns=db0.$cmd op:c id=c1 w sub:config.x/i;db1.a/u",
+         "t00", "2025-01-01 00:00:00"),
+        # sub-marked command on a non-$cmd ns: parity must NOT unwind it
+        ("c2", 0, "system", "ns=db2.b op:c id=c2 w sub:db3.z/i",
+         "t01", "2025-01-01 00:01:00"),
+    ]
+    src = str(tmp_path / "parity_src")
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    from jobs.run_scan import main
+
+    out = _run(main, ["--input", src], monkeypatch, capsys)
+    assert "db0.$cmd" in out      # parent accumulated alongside inner ops
+    assert "db1.a" in out         # inner op unwound
+    assert "config.x" not in out  # inner system ns excluded post-unwind
+    assert "db3.z" not in out     # non-$cmd batch not unwound in parity
+    assert "db2.b" in out
 
 
 def test_run_analyze_cli(spark, transcripts, tmp_path, monkeypatch, capsys):

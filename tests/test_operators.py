@@ -172,6 +172,21 @@ def test_resolve_shard_indexes_sorted_positions(spark):
     assert shard_subset_by_index(df, None, "shard").count() == 4
 
 
+def test_workload_buckets_float_threshold(spark):
+    """A16 — classification happens INSIDE the operator (the driver query
+    hashes its output column directly, VERDICT r02 #2): float thresholds
+    classify by avg bytes/op with strict >."""
+    per_shard = _mk(
+        spark,
+        [("s0", 10, 93), ("s1", 10, 94), ("s2", 4, 8)],
+        "shard string, ops long, bytes long",
+    )
+    out = {r["shard"]: r["workload_class"]
+           for r in A.workload_buckets(per_shard, avg_bytes_threshold=9.3).collect()}
+    # avg 9.3 is NOT > 9.3 (strict, AnalyzeCommand.java:405-437); 9.4 is
+    assert out == {"s0": "light", "s1": "heavy", "s2": "light"}
+
+
 def test_recommendations_compose_skew_and_patterns(spark):
     from oplog_analyzer_spark.operators.aggregate import recommendations
 
@@ -194,6 +209,39 @@ def test_recommendations_compose_skew_and_patterns(spark):
     assert kinds[("collection", "heavy")] == "document bucketing or field-level updates"
     assert kinds[("collection", "small")] == "batching or aggregation pipeline updates"
     assert ("collection", "mid") not in kinds  # mixed → no recommendation
+
+
+def test_binary_id_string_uuid_legacy_byte_order(spark):
+    """P2 binary variant — getIdString subtype dispatch
+    (BaseOplogCommand.java:170-226): UUID_LEGACY (3) reverses each 8-byte
+    half (Java driver legacy encoding), UUID_STANDARD (4) is in-order,
+    other subtypes render hex with >16-byte truncation, null → 'null'."""
+    from oplog_analyzer_spark.operators.parse import binary_id_string
+
+    std = bytes.fromhex("00112233445566778899aabbccddeeff")
+    legacy = std[7::-1] + std[:7:-1]  # how the Java driver STORED it
+    rows = [
+        (0, std, 4),
+        (1, legacy, 3),       # must decode to the same canonical UUID
+        (2, b"\x01\x02\x03", 0),
+        (3, bytes(range(20)), 0),
+        (4, std[:10], 3),     # malformed UUID length → hex fallback
+        (5, None, 4),
+    ]
+    df = spark.createDataFrame(rows, "i long, id_bin binary, subtype int")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", binary_id_string("id_bin", "subtype").alias("s")
+        ).collect()
+    }
+    canonical = "00112233-4455-6677-8899-aabbccddeeff"
+    assert got[0] == canonical
+    assert got[1] == canonical  # legacy byte shuffle undone
+    assert got[2] == "010203"
+    assert got[3] == bytes(range(8)).hex() + "...(20 bytes)"
+    assert got[4] == std[:10].hex()
+    assert got[5] == "null"
 
 
 def test_normalize_id_dispatch_shapes(spark):

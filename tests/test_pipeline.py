@@ -222,6 +222,33 @@ def test_pipeline_resume_adopts_checkpointed_num_batches(spark, transcripts, tmp
     assert len(state["completed"]) == 3
 
 
+def test_pipeline_rejects_batch_mode_mixing(spark, transcripts, tmp_path):
+    """A work_dir completed in staged mode re-run in file-group mode (or
+    vice versa) must raise, not silently skip every batch against a
+    different plan (ADVICE r02)."""
+    cat = T.tool_catalog(spark)
+    wd = str(tmp_path / "wd")
+    src = str(tmp_path / "src")
+    transcripts.write.mode("overwrite").parquet(src)
+    TranscriptPipeline(spark, wd, cat, num_batches=2).run(transcripts)
+    with pytest.raises(ValueError, match="batch mode"):
+        TranscriptPipeline(spark, wd, cat, num_batches=2).run(input_path=src)
+
+
+def test_pipeline_empty_input_reports_zero_rows(spark, tmp_path):
+    """Every file group empty → no batch directory; final_aggregates must
+    report zero rows instead of crashing on the glob read (ADVICE r02)."""
+    cat = T.tool_catalog(spark)
+    src = str(tmp_path / "empty_src")
+    import os
+
+    os.makedirs(src, exist_ok=True)  # input dir with no parquet files
+    pipe = TranscriptPipeline(spark, str(tmp_path / "wd"), cat, num_batches=3)
+    state = pipe.run(input_path=src)
+    assert all(v["path"] is None for v in state["completed"].values())
+    assert pipe.final_aggregates().count() == 0
+
+
 def test_pipeline_skips_completed_batches(spark, transcripts, tmp_path):
     pipe = TranscriptPipeline(spark, str(tmp_path / "wd2"), T.tool_catalog(spark), num_batches=2)
     s1 = pipe.run(transcripts)

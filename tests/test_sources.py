@@ -72,6 +72,41 @@ def test_console_report(spark):
     assert "a.b" in lines[2] and "c.d" in lines[3]
 
 
+def test_console_report_reference_style_golden(spark):
+    """S8 byte-exact parity: header/separator/rows must match the
+    reference's format strings verbatim (EntryAccumulator.java:77-177 —
+    %-50s %2s %10s %10s %10s %10s %12s, US-grouped counts,
+    formatSizeWithPrecision min/max/avg with HALF_UP tenths, commons-io
+    byteCountToDisplaySize totals, N/A element columns)."""
+    from oplog_analyzer_spark.operators.display import reference_report
+
+    df = spark.createDataFrame(
+        [
+            ("db0.coll1", "i", 1234, 123456, 17, 5000, 0, 0, 0, 0),
+            ("db1.c", "u", 2, 2048, 1024, 1024, 2, 7, 2, 3),
+        ],
+        "ns string, op string, count long, total_size long, min_size long, "
+        "max_size long, documents_with_elements long, total_elements long, "
+        "documents_with_diff long, total_diff_fields long",
+    )
+    got = reference_report(df)
+    want = "\n".join([
+        "Namespace                                          op      count        min        max        avg   total size  avg elems  avg diffs",
+        "================================================== == ========== ========== ========== ========== ============ ========== ==========",
+        "db0.coll1                                           i      1,234       17 B     4.9 KB      100 B       120 KB        N/A        N/A",
+        "db1.c                                               u          2     1.0 KB     1.0 KB     1.0 KB         2 KB        3.5        1.5",
+    ])
+    assert got == want
+    # middle truncation of an over-wide namespace (java:117-128)
+    long_ns = "averyveryverylongdatabasenamehere.withaverylongcollectionname"
+    df2 = spark.createDataFrame(
+        [(long_ns, "d", 1, 10, 10, 10)],
+        "ns string, op string, count long, total_size long, min_size long, max_size long",
+    )
+    row = reference_report(df2).splitlines()[2]
+    assert row.startswith("averyveryverylong"[:16] + "..." + long_ns[-12:])
+
+
 def test_iceberg_probe_and_fallback(spark):
     """The Iceberg jar is absent in this sandbox (no network to fetch it);
     the probe must say so and the sink writer must take the parquet
