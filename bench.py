@@ -76,9 +76,15 @@ def bench_pipeline(spark, n_turns: int) -> tuple[float, int]:
             run(warm_out)
         finally:
             shutil.rmtree(warm_out, ignore_errors=True)
-        t0 = time.time()
-        run(out)
-        wall = time.time() - t0
+        # min of 2 timed runs: the sandbox host's disk/CPU noise varies by
+        # >2x between runs (single virtio disk); min is the engine number
+        wall = None
+        for _ in range(2):
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.time()
+            run(out)
+            w = time.time() - t0
+            wall = w if wall is None else min(wall, w)
         return wall, actual_turns
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -104,9 +110,15 @@ def main() -> None:
     for name in HEADLINE_QUERIES:
         fn = qs[name]
         fn(spark, sf_dir).collect()  # warm (plan + IO caches)
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        per_query[name] = round(time.time() - t0, 3)
+        # min of 2 timed runs (fresh plan each — reusing one DataFrame
+        # would skip completed shuffle stages); host noise varies >2x
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            w = time.time() - t0
+            best = w if best is None else min(best, w)
+        per_query[name] = round(best, 3)
 
     # default 20M×sf (2M turns at sf0.1): small enough to generate in ~1 min,
     # large enough that the timed run measures the engine rather than fixed
