@@ -232,12 +232,14 @@ class TranscriptPipeline:
         partition directory); empty-but-correctly-typed when no batch
         produced output."""
         if not self._has_routed_output():
-            return self.spark.createDataFrame(
-                [],
+            schema = (
                 "conv_id string, turn_idx int, role string, text string, "
-                "tool string, ts timestamp, ns string, op string, size long, "
-                "sub string, category string",
+                "tool string, ts timestamp, ns string, op string, id string, "
+                "size long, sub string"
             )
+            if self.with_diff_stats:
+                schema += ", diff struct<diff_fields:int, total_elements:int>"
+            return self.spark.createDataFrame([], schema + ", category string")
         return self.spark.read.option("basePath", self.routed_dir).parquet(
             os.path.join(self.routed_dir, "batch=*")
         )
