@@ -106,3 +106,72 @@ def frame_sample(decoded: DataFrame, every_n: int = 6) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, kind string, payload binary, width int, height int, "
+    "out_width int, out_height int, resized boolean"
+)
+
+
+def resize_assets(assets: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stage: cap the longer side at ``max_side`` preserving aspect
+    ratio.  The TARGET-dimension math is real (exact integer scaling, the
+    part any pipeline depends on for downstream batch shapes); the pixel
+    resample itself goes through the stubbed codec seam (payload passes
+    through unchanged — swap ``_decode_real`` on a cluster image with
+    codecs).  Runs fused with decode in one mapInPandas pass: at scale
+    the payload bytes are read from Arrow exactly once for
+    decode+resize, never re-shuffled between the two steps."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = _decode_stub(pdf["payload"], pdf["kind"])
+            w, h = meta["width"], meta["height"]
+            long_side = w.where(w >= h, h)
+            needs = long_side > max_side
+            # ceil-free exact scale: out = side * max_side // long_side,
+            # floor semantics, min 1 — matches PIL thumbnail rounding-down
+            ow = w.where(~needs, (w * max_side // long_side).clip(lower=1))
+            oh = h.where(~needs, (h * max_side // long_side).clip(lower=1))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": ow.astype("int32"),
+                    "out_height": oh.astype("int32"),
+                    "resized": needs,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction stage: one ``array<float>`` vector per asset —
+    the bridge from multimodal payloads into the similarity/dedup
+    operators (ann/ivf_topk, embedding_neardup_pairs).  The real model
+    forward-pass sits behind the codec seam; the stub derives a
+    deterministic unit-norm vector from payload bytes (xxhash-free,
+    numpy-vectorized per Arrow batch) so the plumbing — batch shape,
+    schema, downstream joins — is exercised for real."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # bytes → stable per-asset seed → reproducible pseudo-features
+            seeds = pdf["payload"].map(
+                lambda b: int.from_bytes(bytes(b)[:8].ljust(8, b"\0"), "little")
+            )
+            vecs = []
+            for s in seeds:
+                rng = np.random.default_rng(s & 0x7FFFFFFFFFFFFFFF)
+                v = rng.standard_normal(dim).astype("float32")
+                v /= np.linalg.norm(v) or 1.0
+                vecs.append(v.tolist())
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "embedding": vecs})
+
+    return assets.mapInPandas(run, schema="asset_id long, embedding array<float>")

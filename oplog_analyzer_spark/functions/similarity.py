@@ -194,3 +194,90 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.round("cosine", 4).alias("cosine"), "rank")
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the
+    corpus into ``n_centroids`` inverted lists; each query probes only its
+    ``nprobe`` nearest lists and exact-reranks inside them — the second
+    scale path next to ``lsh_bucket_topk``.
+
+    Centroids are ``n_centroids`` corpus vectors chosen by deterministic
+    hash order (the k-means|| seeding step without refinement iterations —
+    deterministic and dependency-free; on a real cluster, plug KMeans
+    centroids into the same literal array unchanged).  The K×dim centroid
+    matrix is collected once (bounded, documented) and EMBEDDED AS COLUMN
+    LITERALS, so list assignment and query probing are pure per-row
+    codegen expressions — no join, no shuffle touches the corpus until
+    the candidate join, which is keyed on the centroid id.
+
+    Skew/shape levers, same posture as lsh_bucket_topk:
+      * ``nprobe`` trades recall for candidate volume (miss only if the
+        true neighbor's list is outside all probed lists);
+      * ``max_bucket`` caps any one inverted list by deterministic hash
+        order — a degenerate centroid attracting a near-duplicate flood
+        otherwise goes quadratic in the candidate join;
+      * size ``n_centroids`` ≫ executor count at scale (10^9 vectors →
+        tens of thousands of lists) so the candidate shuffle spreads.
+    """
+    vecs = normalize(df, vec_col).select(F.col(id_col).alias("id"), "v")
+    cent_rows = (  # bounded collect: exactly n_centroids small vectors
+        vecs.withColumn("__h", F.xxhash64(F.lit(seed), "id"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .select(F.col("id").alias("cent_id"), "v")
+        .collect()
+    )
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r["v"]]) for r in cent_rows]
+    )
+    cent_ids = F.array(*[F.lit(int(r["cent_id"])) for r in cent_rows])
+    # per-row scores to every centroid, then (−score, cent_id) structs
+    # sorted ascending = centroids by descending similarity; all codegen
+    scores = F.transform(cents, lambda c: _dot(F.col("v"), c))
+    ranked_cents = F.sort_array(
+        F.zip_with(
+            scores, cent_ids,
+            lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
+        )
+    )
+    corpus = vecs.select(
+        F.col("id").alias("c_id"),
+        F.col("v").alias("cv"),
+        ranked_cents[0]["cid"].alias("cent_id"),
+    )
+    if max_bucket is not None:
+        cap_w = Window.partitionBy("cent_id").orderBy(
+            F.xxhash64(F.lit(seed + 1), "c_id")
+        )
+        corpus = (
+            corpus.withColumn("__cap", F.row_number().over(cap_w))
+            .filter(F.col("__cap") <= max_bucket)
+            .drop("__cap")
+        )
+    probes = vecs.select(
+        F.col("id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(ranked_cents, 1, nprobe), lambda st: st["cid"]
+            )
+        ).alias("cent_id"),
+    )
+    cand = probes.join(corpus, "cent_id").filter(F.col("q_id") != F.col("c_id"))
+    rescored = cand.select("q_id", "c_id", _dot("qv", "cv").alias("cosine"))
+    w_top = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )

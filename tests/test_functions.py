@@ -369,6 +369,80 @@ def test_lsh_multitable_multiprobe_improves_recall(spark):
     assert r4p >= 0.8  # 4 tables x 11 probes recover intra-cluster top-1s
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF path: clustered corpus — intra-cluster top-1s live inside the
+    probed inverted lists, so recall@1 vs brute force is high; results are
+    deterministic (hash-seeded centroids, tie-broken ranks)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((40, 64))
+    mat = np.vstack([c + 0.12 * rng.standard_normal((6, 64)) for c in centers])
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    truth = {
+        r["q_id"]: r["nn_id"] for r in S.top1_neighbor(df, max_queries=60).collect()
+    }
+    a = S.ivf_topk(df, k=1, n_centroids=16, nprobe=3)
+    b = S.ivf_topk(df, k=1, n_centroids=16, nprobe=3)
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    got = {q: c for q, c, *_ in ra}
+    hits = sum(1 for q, nn in truth.items() if got.get(q) == nn)
+    assert hits / len(truth) >= 0.8
+    # nprobe=total centroids degenerates to exact: recall 1.0 on queries
+    full = {
+        r["q_id"]: r["c_id"]
+        for r in S.ivf_topk(df, k=1, n_centroids=16, nprobe=16).collect()
+    }
+    assert all(full[q] == nn for q, nn in truth.items())
+
+
+def test_ivf_max_bucket_caps_hot_list(spark):
+    base = [1.0] + [0.0] * 63
+    rows = [(i, base) for i in range(50)] + [
+        (100 + i, [float(x) for x in np.random.default_rng(i).standard_normal(64)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = S.ivf_topk(df, k=3, n_centroids=8, nprobe=2, max_bucket=10)
+    per_q = capped.groupBy("q_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_q <= 10  # bounded by the capped list size
+
+
+def test_multimodal_resize_and_features(spark, docs):
+    """Resize: exact aspect-preserving integer target dims, payload passes
+    through the stubbed codec seam; features: deterministic unit-norm
+    array<float> joinable into the similarity operators."""
+    from oplog_analyzer_spark.functions.similarity import brute_force_topk
+
+    assets = M.build_assets(
+        docs.withColumn("source", F.lit("t")).withColumn(
+            "n_chars", F.octet_length("text")
+        )
+    )
+    resized = M.resize_assets(assets, max_side=100).collect()
+    for r in resized:
+        w, h, ow, oh = r["width"], r["height"], r["out_width"], r["out_height"]
+        if max(w, h) <= 100:
+            assert (ow, oh) == (w, h) and not r["resized"]
+        else:
+            assert max(ow, oh) <= 100 and r["resized"]
+            # floor-scaled exact dims
+            assert ow == max(1, w * 100 // max(w, h))
+            assert oh == max(1, h * 100 // max(w, h))
+
+    feats = M.extract_features(assets, dim=8)
+    p = feats.toPandas().set_index("asset_id")["embedding"]
+    again = M.extract_features(assets, dim=8).toPandas().set_index("asset_id")["embedding"]
+    assert all(list(p[i]) == list(again[i]) for i in p.index)  # deterministic
+    for v in p:
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-3  # unit norm
+    # bridge into similarity ops: features behave as an embedding column
+    fdf = feats.withColumnRenamed("asset_id", "vec_id")
+    out = brute_force_topk(fdf, fdf, k=1)
+    assert out.count() == len(p)
+
+
 def test_lsh_max_bucket_caps_candidates_deterministically(spark):
     """A degenerate hot bucket (identical vectors) must be capped: bounded
     candidate count, deterministic results across runs."""
