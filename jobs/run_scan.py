@@ -27,6 +27,11 @@ def main() -> None:
     ap.add_argument("--limit", type=int, help="row limit (F7)")
     ap.add_argument("--buckets", help="comma-separated size thresholds (A3)")
     ap.add_argument(
+        "--style", choices=("plain", "reference"), default="plain",
+        help="report layout: 'reference' renders the byte-exact "
+        "EntryAccumulator table (EntryAccumulator.java:77-177)",
+    )
+    ap.add_argument(
         "--unwind-mode", choices=("parity", "routed"), default="parity",
         help="applyOps unwind semantics: 'parity' replicates the reference "
         "(parent $cmd entry accumulated ALONGSIDE inner ops, only *.$cmd "
@@ -62,8 +67,11 @@ def main() -> None:
         df = FL.include_ops(df, args.ops.split(","))
     df = FL.size_range(df, args.min_size, args.max_size)
     df = FL.row_limit(df, args.limit)
-    buckets = [int(b) for b in args.buckets.split(",")] if args.buckets else ()
-    print(console_report(ns_op_report(df, buckets=buckets), limit=50))
+    buckets = tuple(int(b) for b in args.buckets.split(",")) if args.buckets else ()
+    print(console_report(
+        ns_op_report(df, buckets=buckets), limit=50,
+        style=args.style, buckets=buckets,
+    ))
 
 
 if __name__ == "__main__":

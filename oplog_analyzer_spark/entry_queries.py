@@ -1460,6 +1460,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path (rows-only: centroid seeding is xxhash64-order, no
+    DuckDB counterpart; recall/determinism pytest-oracled against brute
+    force in tests/test_functions.py)."""
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        k=3, n_centroids=32, nprobe=3, max_bucket=4096,
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -47,13 +47,16 @@ def humanize_bytes(col: F.Column | str) -> F.Column:
     )
 
 
-def console_report(report: DataFrame, limit: int = 50, style: str = "plain") -> str:
+def console_report(
+    report: DataFrame, limit: int = 50, style: str = "plain",
+    buckets: tuple[int, ...] = (),
+) -> str:
     """S8 — formatted accumulator table (presentation only; collect is
     bounded by ``limit``).  ``style="reference"`` renders the reference's
     exact column layout (EntryAccumulator.java:77-177) for A1/A3-shaped
     reports; anything else gets the generic aligned table."""
     if style == "reference":
-        return reference_report(report, limit=limit)
+        return reference_report(report, buckets=buckets, limit=limit)
     rows = report.limit(limit).collect()
     if not rows:
         return "(empty report)"

@@ -26,6 +26,12 @@ def test_run_scan_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
     out = _run(main, ["--input", src, "--ops", "i,u", "--buckets", "90,120"], monkeypatch, capsys)
     assert "total_size" in out and "gt_90" in out
     assert " c " not in out  # command ops filtered by --ops
+    # S8 reference layout behind --style (EntryAccumulator.java:77-177)
+    ref = _run(
+        main, ["--input", src, "--style", "reference", "--buckets", "90"],
+        monkeypatch, capsys,
+    )
+    assert "Namespace" in ref and "total size" in ref and "> 90 bytes" in ref
 
 
 def test_run_scan_cli_parity_unwind(spark, tmp_path, monkeypatch, capsys):
