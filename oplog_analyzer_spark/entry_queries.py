@@ -700,12 +700,14 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "emb_top1_nn",
     """
-SELECT q_id, c_id AS nn_id, round(CAST(cosine AS DOUBLE), 4) AS cosine FROM (
+SELECT q_id, c_id AS nn_id, round(cosine, 4) AS cosine FROM (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         list_cosine_similarity(q.embedding, c.embedding) AS cosine,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine,
          row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
                     c.vec_id ASC) AS rn
   FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < 100
