@@ -1220,10 +1220,13 @@ WITH toks AS (
   FROM toks
 ), ex AS (
   SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM shing
+), ex2 AS (
+  SELECT * FROM ex
+  WHERE s NOT IN (SELECT s FROM ex GROUP BY s HAVING count(*) > 64)
 ), pairs AS (
   SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
          count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.id < b.id
   GROUP BY 1, 2, 3, 4
 ), dropped AS (
   SELECT DISTINCT id_b FROM pairs WHERE inter >= (n_a + n_b - inter) * 0.5
@@ -1232,13 +1235,14 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM dropped)
 """,
 )
 def dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster resolution: resolve near-dup pairs (ngram-jaccard 0.5) into
-    the kept-id set — every id never appearing as the greater member of a
-    dup pair survives (one anti-join, functions/dedup.py:cluster_dedup_keep)."""
+    """Cluster resolution: resolve near-dup pairs (ngram-jaccard 0.5,
+    max_doc_freq=64 stop-shingle cap mirrored in the oracle) into the
+    kept-id set — every id never appearing as the greater member of a dup
+    pair survives (one anti-join, functions/dedup.py:cluster_dedup_keep)."""
     from .functions.dedup import cluster_dedup_keep, ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64)
     kept = cluster_dedup_keep(pairs, docs.select(F.col("doc_id").alias("id")))
     return kept.select(F.col("id").alias("doc_id"))
 
@@ -1296,10 +1300,13 @@ WITH toks AS (
   FROM toks
 ), ex AS (
   SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM shing
+), ex2 AS (
+  SELECT * FROM ex
+  WHERE s NOT IN (SELECT s FROM ex GROUP BY s HAVING count(*) > 64)
 ), pairs AS (
   SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
          count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.id < b.id
   GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b, inter, CAST(n_a + n_b - inter AS BIGINT) AS uni
@@ -1310,10 +1317,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs — deterministic integer math, so
     the inverted-shingle-index plan is fully DuckDB-oracled (unlike the
     xxhash64-based minhash/simhash variants, which have no DuckDB hash
-    counterpart and stay pytest-verified)."""
+    counterpart and stay pytest-verified).  max_doc_freq=64 drops
+    stop-shingles from the index — mirrored exactly by the oracle's HAVING
+    clause — so one ubiquitous trigram can't send d²/2 candidate pairs
+    through a single join task (observed: the uncapped form ground one
+    core for 45+ min at sf0.1 while the capped semantics stay exact on
+    sf0.01, where no shingle reaches the cap)."""
     from .functions.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_doc_freq=64
+    )
 
 
 # --- materialize-then-oracle queries: the transcript corpus is generated
