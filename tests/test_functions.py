@@ -409,6 +409,33 @@ def test_ivf_max_bucket_caps_hot_list(spark):
     assert per_q <= 10  # bounded by the capped list size
 
 
+def test_ivf_plan_size_constant_in_n_centroids(spark):
+    """The scale criterion from VERDICT r03 #2: at production-shaped
+    n_centroids (1024 here, tens of thousands in a 10^9-vector deployment)
+    the centroid matrix must ride in the pandas-UDF closure, NOT in the
+    Catalyst plan — plan construction stays bounded and centroid
+    assignment is a single ArrowEvalPython stage, never an interpreted
+    ~10^5-literal expression tree."""
+    import time
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t0 = time.time()
+    out = S.ivf_topk(df, k=1, n_centroids=1024, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    build_wall = time.time() - t0
+    # literal-embedded centroids took minutes to even optimize at this K;
+    # the closure form plans in seconds (includes the bounded centroid
+    # collect) and the plan text stays small
+    assert build_wall < 60.0
+    assert "ArrowEvalPython" in plan
+    assert len(plan) < 200_000
+    assert out.count() > 0  # and it executes
+
+
 def test_multimodal_resize_and_features(spark, docs):
     """Resize: exact aspect-preserving integer target dims, payload passes
     through the stubbed codec seam; features: deterministic unit-norm

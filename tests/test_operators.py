@@ -48,6 +48,21 @@ def test_conditional_averages_skip_nonpositive(spark):
     assert r["avg_elements"] == 3.0  # (4+2)/2, zero-rows excluded
 
 
+def test_conditional_averages_both_columns(spark):
+    """A4 twin columns (EntryAccumulator.java:55-63, 94-107): elements and
+    diff-field conditionals computed independently in one report — each
+    skips its own nonpositive rows."""
+    df = _mk(
+        spark,
+        [("a", "u", 1, 4, 0), ("a", "u", 1, 0, 3), ("a", "u", 1, 2, 5)],
+        "ns string, op string, size long, elems int, dfields int",
+    )
+    r = A.ns_op_report(df, elements_col="elems", diff_fields_col="dfields").collect()[0]
+    assert r["avg_elements"] == 3.0  # (4+2)/2
+    assert r["avg_diff_fields"] == 4.0  # (3+5)/2
+    assert r["count"] == 3
+
+
 def test_id_stats_sentinel_exclusion(spark):
     df = _mk(
         spark,
