@@ -37,7 +37,7 @@ HEADLINE_QUERIES = [
 ]
 
 
-def bench_pipeline(spark, n_turns: int) -> tuple[float, int]:
+def bench_pipeline(spark, n_turns: int) -> tuple[list[float], int]:
     """Time the full parse→enrich→route(write)→aggregate pipeline."""
     from pyspark.sql import functions as F
 
@@ -76,16 +76,17 @@ def bench_pipeline(spark, n_turns: int) -> tuple[float, int]:
             run(warm_out)
         finally:
             shutil.rmtree(warm_out, ignore_errors=True)
-        # min of 2 timed runs: the sandbox host's disk/CPU noise varies by
-        # >2x between runs (single virtio disk); min is the engine number
-        wall = None
-        for _ in range(2):
+        # 3 timed runs: the sandbox host's disk/CPU noise varies by >2x
+        # between runs (single virtio disk); min is the engine number,
+        # median is reported alongside so round-over-round comparisons can
+        # see the noise floor (VERDICT r03 "Next round" #9)
+        walls = []
+        for _ in range(3):
             shutil.rmtree(out, ignore_errors=True)
             t0 = time.time()
             run(out)
-            w = time.time() - t0
-            wall = w if wall is None else min(wall, w)
-        return wall, actual_turns
+            walls.append(time.time() - t0)
+        return walls, actual_turns
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
@@ -99,32 +100,44 @@ def main() -> None:
     except ValueError:
         sf_val = 0.1
 
+    import statistics
+
     import __spark_entry__ as E
     from oplog_analyzer_spark.session import get_spark
 
-    spark = get_spark()
+    # The battery is PINNED to ≤16 cores: this host's vCPUs past ~16 are
+    # oversubscribed (BENCH_scaling.json substrate_note — 16c→32c moved
+    # 6.4s only to 4.7s on a 4x core step), so running wider measures host
+    # scheduling noise, not the engine (VERDICT r03 "Next round" #9).
+    cpus_requested = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus_used = min(cpus_requested, 16)
+    spark = get_spark(master=f"local[{cpus_used}]")
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
     per_query: dict[str, float] = {}
+    per_query_median: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         fn = qs[name]
         fn(spark, sf_dir).collect()  # warm (plan + IO caches)
-        # min of 2 timed runs (fresh plan each — reusing one DataFrame
-        # would skip completed shuffle stages); host noise varies >2x
-        best = None
-        for _ in range(2):
+        # 3 timed runs (fresh plan each — reusing one DataFrame would skip
+        # completed shuffle stages); host noise varies >2x, so report BOTH
+        # min (the engine number) and median (the noise floor)
+        walls = []
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).collect()
-            w = time.time() - t0
-            best = w if best is None else min(best, w)
-        per_query[name] = round(best, 3)
+            walls.append(time.time() - t0)
+        per_query[name] = round(min(walls), 3)
+        per_query_median[name] = round(statistics.median(walls), 3)
 
     # default 20M×sf (2M turns at sf0.1): small enough to generate in ~1 min,
     # large enough that the timed run measures the engine rather than fixed
     # per-query overhead (~14k turns/s at 200k turns vs ~100k+ at 2M)
     n_turns = int(os.environ.get("BENCH_TURNS", str(int(20_000_000 * sf_val))))
-    wall, actual = bench_pipeline(spark, n_turns)
+    walls, actual = bench_pipeline(spark, n_turns)
+    wall = min(walls)
+    wall_median = statistics.median(walls)
     throughput = actual / wall if wall > 0 else 0.0
 
     print(
@@ -134,8 +147,13 @@ def main() -> None:
                 "value": round(throughput, 1),
                 "unit": "turns/sec",
                 "pipeline_wall_sec": round(wall, 3),
+                "pipeline_wall_sec_median": round(wall_median, 3),
+                "throughput_median": round(actual / wall_median, 1) if wall_median else 0.0,
                 "pipeline_turns": actual,
                 "queries": per_query,
+                "queries_median": per_query_median,
+                "cpus": cpus_used,
+                "cpus_requested": cpus_requested,
                 "sf": sf_val,
             }
         )

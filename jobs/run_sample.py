@@ -21,6 +21,15 @@ def main() -> None:
     ap.add_argument("--stats-out", required=True)
     ap.add_argument("--ids-per-group", type=int, default=10)
     ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument(
+        "--style",
+        choices=["lines", "reference"],
+        default="lines",
+        help="stats layout: 'lines' = JSON-lines directory (Spark-native, "
+        "re-joinable via read_stats_json); 'reference' = the byte-exact "
+        "single-document nested layout of SampleCommand.writeStatsAsJson "
+        "(java:548-592), written to --stats-out as ONE file",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -42,7 +51,28 @@ def main() -> None:
         df, ["shard", "ns"], "id", args.ids_per_group, "ts"
     )
     report = ns_op_report(sampled)
-    write_stats_json(report, args.stats_out)
+    if args.style == "reference":
+        from datetime import datetime, timezone
+
+        from oplog_analyzer_spark.sources.stats_json import reference_stats_json
+
+        per_shard = sampled.groupBy("shard", "ns", "op").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum("size").alias("total_size"),
+            F.min("size").alias("min_size"),
+            F.max("size").alias("max_size"),
+        )
+        doc = reference_stats_json(
+            per_shard,
+            total_processed=df.count(),
+            total_sampled=sampled.count(),
+            sampling_period=args.stats_out,
+            timestamp=datetime.now(timezone.utc).isoformat().replace("+00:00", "Z"),
+        )
+        with open(args.stats_out, "w") as f:
+            f.write(doc)
+    else:
+        write_stats_json(report, args.stats_out)
     print(console_report(report))
 
 

@@ -160,13 +160,17 @@ def minhash_lsh_pairs(
     self-join goes quadratic (d²/2 pairs for d clones).  ``max_bucket``
     caps each (band, bucket) to that many members chosen by a
     DETERMINISTIC hash order (same cap pattern as
-    similarity.lsh_bucket_topk): cost gets a hard ceiling, and because
-    every surviving bucket member still pairs with the cap set, the clone
-    cluster stays connected through the capped representatives (transitive
-    dedup via cluster_dedup_keep).  Recall inside a >max_bucket bucket is
-    bounded, not exact — run ``exact_dedup`` first to collapse
-    byte-identical clones if exact clone handling is required.  Default
-    None = exact (the pytest-oracled form).
+    similarity.lsh_bucket_topk): cost gets a hard ceiling.  The cap hash
+    includes the band (ADVICE r03), so each band keeps a DIFFERENT
+    representative subset — an over-cap clone is paired (and transitively
+    deduped via cluster_dedup_keep) iff it survives into at least one
+    band's cap set, which band-independent hashing made impossible (the
+    same members survived every band and the rest never appeared in any
+    candidate pair).  With b bands the miss probability for one clone
+    decays as ((d-m)/d)^b, but it is NOT zero: recall inside a
+    >max_bucket bucket is bounded, not exact — run ``exact_dedup`` first
+    to collapse byte-identical clones if exact clone handling is
+    required.  Default None = exact (the pytest-oracled form).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -187,8 +191,9 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     if max_bucket is not None:
+        # band-dependent order: different bands keep different members
         cap_w = Window.partitionBy("band", "bucket").orderBy(
-            F.xxhash64(F.lit(0), "id")
+            F.xxhash64(F.lit(0), "band", "id")
         )
         banded = (
             banded.withColumn("__r", F.row_number().over(cap_w))

@@ -160,10 +160,18 @@ def reference_report(
         docs_d = r["documents_with_diff"] if "documents_with_diff" in cols else 0
 
         def ratio_tenths(total: int, docs: int) -> str:
-            # Java %.1f rounds HALF_UP on the exact ratio; integer form:
-            # floor((total/docs)*10 + 1/2) = (20*total + docs) // (2*docs)
-            tenths = (20 * total + docs) // (2 * docs)
-            return f"{tenths // 10}.{tenths % 10}"
+            # Java %.1f applies HALF_UP to the BINARY double totalElements/
+            # documentsWithElements, not to the exact rational — for decimal
+            # ties not representable in binary the two diverge (ADVICE r03:
+            # 7/20 → double 0.3499999999999999778 → Java prints "0.3", the
+            # exact-rational form printed "0.4").  Decimal(float) captures
+            # the double's exact expansion; quantize replicates Java.
+            from decimal import ROUND_HALF_UP, Decimal
+
+            d = Decimal(total / docs).quantize(
+                Decimal("0.1"), rounding=ROUND_HALF_UP
+            )
+            return str(d)
 
         line += (
             f" {ratio_tenths(r['total_elements'], docs_e):>10}"

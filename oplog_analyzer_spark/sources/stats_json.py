@@ -21,6 +21,71 @@ def write_stats_json(report: DataFrame, out_dir: str) -> None:
     report.coalesce(1).write.mode("overwrite").json(out_dir)
 
 
+def reference_stats_json(
+    per_shard_report: DataFrame,
+    total_processed: int,
+    total_sampled: int,
+    sampling_period: str,
+    timestamp: str,
+    processed_ops: dict[str, int] | None = None,
+) -> str:
+    """Byte-exact reference stats document (SampleCommand.writeStatsAsJson,
+    java:548-592): one nested JSON object — header fields, then shards
+    sorted ascending, each with processedOps and its collections keyed
+    ``ns.op`` sorted by totalBytes DESC, five fixed stat fields apiece,
+    with the reference's exact hand-printed indentation and comma
+    placement.  ``avgBytes`` is total/count INTEGER division
+    (EntryAccumulator.getAvg, java:82).
+
+    Expects an A8-shaped per-shard aggregate (shard, ns, op, count,
+    total_size, min_size, max_size) — aggregate-sized, so the collect is
+    bounded.  ``processed_ops`` overrides the per-shard processed counts
+    (the reference counts every entry seen, sampled or not); defaults to
+    the sum of sampled counts.  Total-desc ties are broken by (ns, op) —
+    the reference inherits HashMap iteration order there, which is
+    unspecified; ours is pinned for reproducibility (documented
+    divergence on ties only).
+    """
+    rows = per_shard_report.collect()
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(str(r["shard"]), []).append(r)
+
+    out: list[str] = ["{"]
+    out.append(f'  "timestamp": "{timestamp}",')
+    out.append(f'  "samplingPeriod": "{sampling_period}",')
+    out.append(f'  "totalProcessed": {total_processed},')
+    out.append(f'  "totalSampled": {total_sampled},')
+    out.append('  "shards": {')
+    shard_ids = sorted(by_shard)
+    for i, shard_id in enumerate(shard_ids):
+        shard_rows = sorted(
+            by_shard[shard_id],
+            key=lambda r: (-r["total_size"], r["ns"], r["op"]),
+        )
+        processed = (
+            processed_ops[shard_id]
+            if processed_ops is not None
+            else sum(r["count"] for r in shard_rows)
+        )
+        out.append(f'    "{shard_id}": {{')
+        out.append(f'      "processedOps": {processed},')
+        out.append('      "collections": {')
+        for j, r in enumerate(shard_rows):
+            out.append(f'        "{r["ns"]}.{r["op"]}": {{')
+            out.append(f'          "count": {r["count"]},')
+            out.append(f'          "totalBytes": {r["total_size"]},')
+            out.append(f'          "avgBytes": {r["total_size"] // r["count"]},')
+            out.append(f'          "minBytes": {r["min_size"]},')
+            out.append(f'          "maxBytes": {r["max_size"]}')
+            out.append("        }," if j < len(shard_rows) - 1 else "        }")
+        out.append("      }")
+        out.append("    }," if i < len(shard_ids) - 1 else "    }")
+    out.append("  }")
+    out.append("}")
+    return "\n".join(out) + "\n"
+
+
 def read_stats_json(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.json(out_dir)
 

@@ -67,9 +67,14 @@ def test_minhash_jaccard_estimate_matches_exact(docs):
 
 def test_minhash_max_bucket_caps_identical_doc_flood(spark, docs):
     """50 byte-identical docs share every band hash → one hot bucket whose
-    self-join is quadratic (1225 pairs).  max_bucket bounds it: only the
-    deterministically-chosen cap set pairs up, results identical across
-    runs, and true near-dups among DISTINCT docs are unaffected."""
+    self-join is quadratic (1225 pairs).  max_bucket bounds it: per (band,
+    bucket) at most cap members pair up, results identical across runs,
+    and true near-dups among DISTINCT docs are unaffected.  The cap order
+    is BAND-DEPENDENT (ADVICE r03): each of the 8 bands keeps a different
+    10-member subset, so far more than 10 clones appear in some candidate
+    pair — under the old band-independent hash exactly the same 10
+    survived every band and the other 40 were never paired (hence never
+    deduped) at all."""
     flood = spark.createDataFrame(
         [(1000 + i, "clone clone clone of the very same document text body") for i in range(50)],
         "doc_id long, text string",
@@ -80,8 +85,13 @@ def test_minhash_max_bucket_caps_identical_doc_flood(spark, docs):
     rows1 = sorted(map(tuple, capped1.collect()))
     assert rows1 == sorted(map(tuple, capped2.collect()))
     clone_pairs = [(a, b) for a, b, *_ in rows1 if a >= 1000 and b >= 1000]
-    # cap set of 10 members → at most C(10,2)=45 clone pairs, not 1225
-    assert 0 < len(clone_pairs) <= 45
+    # per band at most C(10,2)=45 clone pairs → ≤ 8×45=360 distinct pairs
+    # across the 8 bands, a hard ceiling far below the uncapped 1225
+    assert 0 < len(clone_pairs) <= 360
+    # cross-band reconnection: the union of per-band cap sets covers many
+    # more clones than one band's 10 — these all get transitively deduped
+    clone_members = {x for p in clone_pairs for x in p}
+    assert len(clone_members) > 20
     # the planted near-dups among distinct docs still surface
     pairs = {(a, b) for a, b, *_ in rows1}
     assert (0, 1) in pairs and (0, 2) in pairs

@@ -112,3 +112,23 @@ def test_run_sample_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
     # stats JSON round-trips (S9)
     reloaded = spark.read.json(stats_out)
     assert reloaded.count() > 0 and "total_size" in reloaded.columns
+    # reference-layout stats document behind --style
+    # (SampleCommand.writeStatsAsJson, java:548-592)
+    import json
+
+    ref_out = str(tmp_path / "stats_ref.json")
+    _run(
+        main,
+        ["--input", src, "--stats-out", ref_out, "--ids-per-group", "3",
+         "--style", "reference"],
+        monkeypatch, capsys,
+    )
+    with open(ref_out) as f:
+        doc = json.load(f)
+    assert set(doc) == {
+        "timestamp", "samplingPeriod", "totalProcessed", "totalSampled", "shards",
+    }
+    some_shard = next(iter(doc["shards"].values()))
+    some_coll = next(iter(some_shard["collections"].values()))
+    assert set(some_coll) == {"count", "totalBytes", "avgBytes", "minBytes", "maxBytes"}
+    assert some_coll["avgBytes"] == some_coll["totalBytes"] // some_coll["count"]

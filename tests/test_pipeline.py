@@ -208,6 +208,27 @@ def test_pipeline_file_group_mode_matches_staged(spark, transcripts, tmp_path):
     assert sum(v["rows_in"] for v in state["completed"].values()) == transcripts.count()
 
 
+def test_pipeline_file_plan_via_hadoop_fs_uri(spark, transcripts, tmp_path):
+    """The file-group plan must come from the Hadoop FileSystem API, not
+    os.walk (VERDICT r03 #6): a ``file:`` URI input_path — which os.walk
+    cannot list — plans, runs, and matches the plain-path results; the
+    pinned plan stores fully-qualified URIs."""
+    cat = T.tool_catalog(spark)
+    src = str(tmp_path / "src_uri")
+    transcripts.repartition(4).write.parquet(src)
+
+    plain = TranscriptPipeline(spark, str(tmp_path / "p"), cat, num_batches=2)
+    plain.run(input_path=src)
+
+    uri = TranscriptPipeline(spark, str(tmp_path / "u"), cat, num_batches=2)
+    state = uri.run(input_path="file://" + src)
+    planned = [f for g in state["file_groups"] for f in g]
+    assert planned and all(f.startswith("file:") for f in planned)
+    a = sorted(map(tuple, plain.final_aggregates().collect()))
+    b = sorted(map(tuple, uri.final_aggregates().collect()))
+    assert a == b
+
+
 def test_pipeline_resume_adopts_checkpointed_num_batches(spark, transcripts, tmp_path):
     """Resuming with a different --batches must NOT reinterpret batch ids
     under a new modulus (ADVICE: silent dup/drop)."""
@@ -247,6 +268,29 @@ def test_pipeline_empty_input_reports_zero_rows(spark, tmp_path):
     state = pipe.run(input_path=src)
     assert all(v["path"] is None for v in state["completed"].values())
     assert pipe.final_aggregates().count() == 0
+
+
+def test_routed_schema_identical_empty_vs_nonempty(spark, transcripts, tmp_path):
+    """ADVICE r03: routed() must expose the SAME schema (names, types,
+    order) whether or not any batch produced output — no stray ``batch``
+    partition column on the non-empty path, no pre-join column order on
+    the empty fallback; unions and positional consumers bind identically."""
+    import os
+
+    cat = T.tool_catalog(spark)
+    src = str(tmp_path / "no_rows")
+    os.makedirs(src, exist_ok=True)
+    empty_pipe = TranscriptPipeline(spark, str(tmp_path / "wd_e"), cat, num_batches=2)
+    empty_pipe.run(input_path=src)
+    full_pipe = TranscriptPipeline(spark, str(tmp_path / "wd_f"), cat, num_batches=2)
+    full_pipe.run(transcripts)
+    assert full_pipe.routed().count() > 0
+    assert empty_pipe.routed().schema == full_pipe.routed().schema
+    # unioning the two shapes (the consumer pattern that broke) works
+    assert (
+        empty_pipe.routed().unionAll(full_pipe.routed()).count()
+        == full_pipe.routed().count()
+    )
 
 
 def test_pipeline_skips_completed_batches(spark, transcripts, tmp_path):

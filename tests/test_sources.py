@@ -56,6 +56,78 @@ def test_stats_json_roundtrip_and_join(spark, tmp_path):
     assert joined == {"s0": 100, "s2": 2}  # s0 replaced, s2 falls back
 
 
+def test_reference_stats_json_golden(spark):
+    """Byte-exact parity with SampleCommand.writeStatsAsJson (java:548-592):
+    nested shard→collections document, shards ascending, collections by
+    totalBytes desc, ``ns.op`` keys, integer avgBytes, the reference's
+    exact indentation and comma placement."""
+    from oplog_analyzer_spark.sources.stats_json import reference_stats_json
+
+    per_shard = spark.createDataFrame(
+        [
+            ("shard1", "db.b", "u", 2, 2048, 1000, 1048),
+            ("shard0", "db.a", "i", 3, 31, 5, 15),
+            ("shard0", "db.c", "d", 1, 100, 100, 100),
+        ],
+        "shard string, ns string, op string, count long, total_size long, "
+        "min_size long, max_size long",
+    )
+    got = reference_stats_json(
+        per_shard,
+        total_processed=10,
+        total_sampled=6,
+        sampling_period="oplog_sample",
+        timestamp="2026-08-17T00:00:00Z",
+        processed_ops={"shard0": 7, "shard1": 3},
+    )
+    want = "\n".join([
+        "{",
+        '  "timestamp": "2026-08-17T00:00:00Z",',
+        '  "samplingPeriod": "oplog_sample",',
+        '  "totalProcessed": 10,',
+        '  "totalSampled": 6,',
+        '  "shards": {',
+        '    "shard0": {',
+        '      "processedOps": 7,',
+        '      "collections": {',
+        '        "db.c.d": {',
+        '          "count": 1,',
+        '          "totalBytes": 100,',
+        '          "avgBytes": 100,',
+        '          "minBytes": 100,',
+        '          "maxBytes": 100',
+        "        },",
+        '        "db.a.i": {',
+        '          "count": 3,',
+        '          "totalBytes": 31,',
+        '          "avgBytes": 10,',  # 31/3 integer division
+        '          "minBytes": 5,',
+        '          "maxBytes": 15',
+        "        }",
+        "      }",
+        "    },",
+        '    "shard1": {',
+        '      "processedOps": 3,',
+        '      "collections": {',
+        '        "db.b.u": {',
+        '          "count": 2,',
+        '          "totalBytes": 2048,',
+        '          "avgBytes": 1024,',
+        '          "minBytes": 1000,',
+        '          "maxBytes": 1048',
+        "        }",
+        "      }",
+        "    }",
+        "  }",
+        "}",
+    ]) + "\n"
+    assert got == want
+    import json as _json
+
+    parsed = _json.loads(got)  # and it is valid JSON
+    assert parsed["shards"]["shard0"]["collections"]["db.a.i"]["avgBytes"] == 10
+
+
 def test_humanize_bytes(spark):
     df = spark.createDataFrame(
         [(500,), (2048,), (3 * 1024 * 1024,), (5 * 1024**3,)], "b long"
@@ -105,6 +177,17 @@ def test_console_report_reference_style_golden(spark):
     )
     row = reference_report(df2).splitlines()[2]
     assert row.startswith("averyveryverylong"[:16] + "..." + long_ns[-12:])
+    # binary-double tie parity (ADVICE r03): 7/20 is decimal 0.35 but
+    # double 0.3499999999999999778 — Java %.1f prints "0.3"; 1/8 = 0.125
+    # exactly representable → "0.1"
+    df3 = spark.createDataFrame(
+        [("db2.t", "d", 1, 10, 10, 10, 20, 7, 8, 1)],
+        "ns string, op string, count long, total_size long, min_size long, "
+        "max_size long, documents_with_elements long, total_elements long, "
+        "documents_with_diff long, total_diff_fields long",
+    )
+    tie_row = reference_report(df3).splitlines()[2]
+    assert tie_row.split()[-2:] == ["0.3", "0.1"]
 
 
 def test_iceberg_probe_and_fallback(spark):
