@@ -110,7 +110,8 @@ def main() -> None:
     # 6.4s only to 4.7s on a 4x core step), so running wider measures host
     # scheduling noise, not the engine (VERDICT r03 "Next round" #9).
     cpus_requested = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    cpus_used = min(cpus_requested, 16)
+    cap = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_CPUS", "16"))
+    cpus_used = min(cpus_requested, cap)
     spark = get_spark(master=f"local[{cpus_used}]")
     spark.sparkContext.setLogLevel("ERROR")
 

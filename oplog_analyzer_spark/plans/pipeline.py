@@ -66,6 +66,7 @@ class TranscriptPipeline:
         self.tool_catalog = tool_catalog
         self.num_batches = num_batches
         self.with_diff_stats = with_diff_stats
+        self._file_groups_cache: list[list[str]] | None = None
         self.staged_dir = os.path.join(work_dir, "staged")
         self.routed_dir = os.path.join(work_dir, "routed")
         self.metrics_dir = os.path.join(work_dir, "metrics")
@@ -133,19 +134,45 @@ class TranscriptPipeline:
         return sorted(files)
 
     def _plan_file_groups(self, input_path: str, state: dict) -> None:
-        """Plan parquet files into batch groups ONCE and pin the plan in the
-        checkpoint, so resume processes the same groups even if files were
-        added since (Iceberg-manifest-style planning)."""
+        """Plan parquet files into batch groups ONCE and pin the plan, so
+        resume processes the same groups even if files were added since
+        (Iceberg-manifest-style planning).
+
+        The plan itself lives in a WRITE-ONCE sidecar (``file_plan.json``,
+        published atomically); the checkpoint holds only its path and file
+        count.  Inlining the plan in the checkpoint would rewrite the full
+        file list on EVERY batch completion — at 100 TB that's ~10^6 file
+        URIs ≈ 100 MB of JSON re-serialized per batch, turning checkpoint
+        saves into the driver bottleneck.  The sidecar is immutable after
+        publish, so the plan stays as pinned as before."""
         files = self._list_parquet_files(input_path)
         groups: list[list[str]] = [[] for _ in range(self.num_batches)]
         for i, f in enumerate(files):
             groups[i % self.num_batches].append(f)
-        state["file_groups"] = groups
+        os.makedirs(self.work_dir, exist_ok=True)
+        plan_path = os.path.join(self.work_dir, "file_plan.json")
+        tmp = plan_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"groups": groups}, f)
+        os.replace(tmp, plan_path)  # atomic publish, never rewritten
+        self._file_groups_cache = groups
+        state["file_plan"] = plan_path
+        state["file_plan_n_files"] = len(files)
         self._save_checkpoint(state)
 
+    def _file_groups(self, state: dict) -> list[list[str]]:
+        """The pinned plan: sidecar-backed (current layout) or inline
+        (pre-r4 checkpoints keep resuming unchanged)."""
+        if "file_groups" in state:  # legacy inline layout
+            return state["file_groups"]
+        if self._file_groups_cache is None:
+            with open(state["file_plan"]) as f:
+                self._file_groups_cache = json.load(f)["groups"]
+        return self._file_groups_cache
+
     def _batch_df(self, state: dict, b: int) -> DataFrame | None:
-        if "file_groups" in state:
-            group = state["file_groups"][b]
+        if "file_groups" in state or "file_plan" in state:
+            group = self._file_groups(state)[b]
             if not group:
                 return None
             return self.spark.read.parquet(*group)
@@ -196,7 +223,7 @@ class TranscriptPipeline:
             )
         state["mode"] = mode
         if input_path is not None:
-            if "file_groups" not in state:
+            if "file_groups" not in state and "file_plan" not in state:
                 self._plan_file_groups(input_path, state)
         elif not state.get("staged"):
             if transcripts is None:

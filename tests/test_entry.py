@@ -23,6 +23,20 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) >= 20
 
 
+def test_driver_window_fully_oracled():
+    """The driver harness runs exactly the FIRST 50 registered queries in
+    registration order; a registration slip (an oracled row pushed past
+    the cap, or a rows-only entry drifting inside it) silently downgrades
+    the correctness gate.  Pin the window: first 50 all oracled, the
+    oracle-hostile rows-only entries strictly after."""
+    qs, os_ = E.queries(), E.oracle_sql()
+    names = list(qs)
+    in_window = names[:50]
+    assert all(n in os_ for n in in_window), [n for n in in_window if n not in os_]
+    assert len(os_) == 50  # every oracled row is inside the window
+    assert all(n not in os_ for n in names[50:])
+
+
 def test_all_queries_run_small(spark):
     """Every queries() entry analyzes AND executes at sf0.001.  Counts are
     submitted from a thread pool — Spark job submission is thread-safe and

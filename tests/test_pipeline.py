@@ -199,8 +199,17 @@ def test_pipeline_file_group_mode_matches_staged(spark, transcripts, tmp_path):
 
     filemode = TranscriptPipeline(spark, str(tmp_path / "b"), cat, num_batches=3)
     state = filemode.run(input_path=src)
-    assert "file_groups" in state and len(state["file_groups"]) == 3
-    assert sum(len(g) for g in state["file_groups"]) >= 6
+    # the pinned plan lives in a write-once sidecar; the checkpoint itself
+    # stays O(num_batches) no matter how many input files exist
+    assert "file_plan" in state and state["file_plan_n_files"] >= 6
+    groups = filemode._file_groups(state)
+    assert len(groups) == 3 and sum(len(g) for g in groups) >= 6
+    import json as _json
+    import os as _os
+
+    assert _os.path.getsize(filemode.checkpoint_path) < 4096
+    with open(state["file_plan"]) as f:
+        assert _json.load(f)["groups"] == groups
     a = sorted(map(tuple, staged.final_aggregates().collect()))
     b = sorted(map(tuple, filemode.final_aggregates().collect()))
     assert a == b
@@ -220,13 +229,28 @@ def test_pipeline_file_plan_via_hadoop_fs_uri(spark, transcripts, tmp_path):
     plain = TranscriptPipeline(spark, str(tmp_path / "p"), cat, num_batches=2)
     plain.run(input_path=src)
 
+    # kill after batch 0, resume with a FRESH object: the plan reloads
+    # from the write-once sidecar, not from driver memory
     uri = TranscriptPipeline(spark, str(tmp_path / "u"), cat, num_batches=2)
-    state = uri.run(input_path="file://" + src)
-    planned = [f for g in state["file_groups"] for f in g]
+    with pytest.raises(RuntimeError):
+        uri.run(input_path="file://" + src, fail_after_batch=1)
+    uri2 = TranscriptPipeline(spark, str(tmp_path / "u"), cat, num_batches=2)
+    state = uri2.run(input_path="file://" + src)
+    planned = [f for g in uri2._file_groups(state) for f in g]
     assert planned and all(f.startswith("file:") for f in planned)
     a = sorted(map(tuple, plain.final_aggregates().collect()))
-    b = sorted(map(tuple, uri.final_aggregates().collect()))
+    b = sorted(map(tuple, uri2.final_aggregates().collect()))
     assert a == b
+
+
+def test_file_plan_legacy_inline_checkpoint(spark, tmp_path):
+    """Pre-sidecar checkpoints inline the plan as state['file_groups'];
+    they must keep resuming unchanged."""
+    pipe = TranscriptPipeline(
+        spark, str(tmp_path / "wd_l"), T.tool_catalog(spark), num_batches=2
+    )
+    legacy = {"file_groups": [["a.parquet"], ["b.parquet"]]}
+    assert pipe._file_groups(legacy) == [["a.parquet"], ["b.parquet"]]
 
 
 def test_pipeline_resume_adopts_checkpointed_num_batches(spark, transcripts, tmp_path):
