@@ -25,6 +25,12 @@ def main() -> None:
     ap.add_argument("--small-avg", type=float, default=1000.0)
     ap.add_argument("--top-ids", type=int, default=20)
     ap.add_argument(
+        "--stats-file",
+        help="J2: stats JSON directory from run_sample — authoritative "
+        "per-(ns,op) totals override the scan-derived numbers where "
+        "present (AnalyzeCommand --statsFile, java:132-138, 763-822)",
+    )
+    ap.add_argument(
         "--unwind-mode", choices=("parity", "routed"), default="parity",
         help="applyOps unwind semantics: 'parity' replicates the reference "
         "(parent $cmd entry kept alongside inner ops, only *.$cmd "
@@ -72,6 +78,18 @@ def main() -> None:
     ))
     print("\n--- CROSS-SHARD COMPARISON (A14) ---")
     print(console_report(A.cross_shard_comparison(df, "shard")))
+    if args.stats_file:
+        from oplog_analyzer_spark.operators.aggregate import ns_op_report
+        from oplog_analyzer_spark.sources.stats_json import (
+            join_stats,
+            read_stats_json,
+        )
+
+        facts = ns_op_report(df).drop("avg_size")
+        stats = read_stats_json(spark, args.stats_file)
+        joined = join_stats(facts, stats, on=["ns", "op"])
+        print("\n--- AUTHORITATIVE (ns, op) TOTALS (J2, sample stats override) ---")
+        print(console_report(joined.orderBy(F.desc("total_size"))))
     print("\n=== OPTIMIZATION RECOMMENDATIONS (A17) ===")
     print(console_report(A.recommendations(
         df, "shard", heavy_avg=args.heavy_avg,

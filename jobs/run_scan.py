@@ -7,7 +7,9 @@ report.
 
   spark-submit --py-files dist/oplog_analyzer_spark.zip jobs/run_scan.py \
     --input <dir> [--start "2025-01-01 00:00:00"] [--end ...] \
-    [--ns a.b,c.d] [--ops i,u] [--min-size N] [--max-size N] [--limit N]
+    [--ns a.b,c.d] [--ops i,u] [--min-size N] [--max-size N] [--limit N] \
+    [--threshold N] [--shard-index 0,2] \
+    [--id-stats [--id-stats-threshold N] [--top-ids K]]
 """
 
 from __future__ import annotations
@@ -27,6 +29,34 @@ def main() -> None:
     ap.add_argument("--limit", type=int, help="row limit (F7)")
     ap.add_argument("--buckets", help="comma-separated size thresholds (A3)")
     ap.add_argument(
+        "--threshold", type=int,
+        help="F5: side-output report of ops >= this size (the reference's "
+        "-t/--threshold log, BaseOplogCommand.java:124-127) — flagged rows "
+        "stay in the main aggregation",
+    )
+    ap.add_argument(
+        "--shard-index",
+        help="F8: comma-separated positions in the SORTED distinct shard "
+        "list (TailCommand.java:966-989), e.g. 0,2",
+    )
+    ap.add_argument(
+        "--shards", type=int, default=4,
+        help="synthesize shard = xxhash(conv_id) %% N when the input has "
+        "no shard column",
+    )
+    ap.add_argument(
+        "--id-stats", action="store_true",
+        help="A5/A6: per-id statistics + top-id report (--idStats)",
+    )
+    ap.add_argument(
+        "--id-stats-threshold", type=int, default=0,
+        help="F6: only rows >= this size enter id statistics "
+        "(IdStatisticsManager.java:70-72; independent of --threshold — "
+        "the two-threshold system, reference README.md:412-431)",
+    )
+    ap.add_argument("--top-ids", type=int, default=20,
+                    help="A6: top-id report size (--topIdCount)")
+    ap.add_argument(
         "--style", choices=("plain", "reference"), default="plain",
         help="report layout: 'reference' renders the byte-exact "
         "EntryAccumulator table (EntryAccumulator.java:77-177)",
@@ -42,8 +72,10 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    from pyspark.sql import functions as F
+
+    from oplog_analyzer_spark.operators import aggregate as A
     from oplog_analyzer_spark.operators import filters as FL
-    from oplog_analyzer_spark.operators.aggregate import ns_op_report
     from oplog_analyzer_spark.operators.display import console_report
     from oplog_analyzer_spark.operators.parse import parse_transcripts, unwind_applyops
     from oplog_analyzer_spark.session import get_spark
@@ -66,12 +98,34 @@ def main() -> None:
     if args.ops:
         df = FL.include_ops(df, args.ops.split(","))
     df = FL.size_range(df, args.min_size, args.max_size)
+    if args.shard_index:
+        if "shard" not in df.columns:
+            df = df.withColumn(
+                "shard", F.pmod(F.xxhash64("conv_id"), F.lit(args.shards)).cast("int")
+            )
+        df = FL.shard_subset_by_index(
+            df, [int(x) for x in args.shard_index.split(",")], "shard"
+        )
     df = FL.row_limit(df, args.limit)
     buckets = tuple(int(b) for b in args.buckets.split(",")) if args.buckets else ()
     print(console_report(
-        ns_op_report(df, buckets=buckets), limit=50,
+        A.ns_op_report(df, buckets=buckets), limit=50,
         style=args.style, buckets=buckets,
     ))
+    if args.threshold is not None:
+        # F5 side output: flagged rows reported separately, NOT removed
+        # from the main aggregation above (TailCommand.java:716-723)
+        over = FL.threshold_flag(df, args.threshold).filter("over_threshold")
+        print(f"\n--- OPS >= {args.threshold} B (F5 side output) ---")
+        print(console_report(A.ns_op_report(over), limit=50))
+    if args.id_stats:
+        base = (
+            FL.id_stats_threshold(df, args.id_stats_threshold)
+            if args.id_stats_threshold
+            else df
+        )
+        print(f"\n--- TOP {args.top_ids} IDS (A5/A6) ---")
+        print(console_report(A.top_k_ids(A.id_stats(base), k=args.top_ids)))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,16 @@ def test_run_scan_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
         monkeypatch, capsys,
     )
     assert "Namespace" in ref and "total size" in ref and "> 90 bytes" in ref
+    # F5 threshold side output + F8 shard subset + A5/A6 id stats flags
+    # (the reference's -t / --shardIndex / --idStats surface)
+    full = _run(
+        main,
+        ["--input", src, "--threshold", "60", "--shard-index", "0,2",
+         "--id-stats", "--id-stats-threshold", "40", "--top-ids", "5"],
+        monkeypatch, capsys,
+    )
+    assert "OPS >= 60 B (F5 side output)" in full
+    assert "TOP 5 IDS (A5/A6)" in full
 
 
 def test_run_scan_cli_parity_unwind(spark, tmp_path, monkeypatch, capsys):
@@ -75,6 +85,16 @@ def test_run_analyze_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
     for section in ("SHARD SKEW", "WORKLOAD GROUPS", "COLLECTION PATTERNS",
                     "RECOMMENDATIONS"):
         assert section in out
+    # J2: --stats-file overrides scan-derived totals with the sample
+    # stats report (AnalyzeCommand --statsFile)
+    from jobs.run_sample import main as sample_main
+
+    stats_out = str(tmp_path / "stats_for_analyze")
+    _run(sample_main, ["--input", src, "--stats-out", stats_out], monkeypatch, capsys)
+    out2 = _run(
+        main, ["--input", src, "--stats-file", stats_out], monkeypatch, capsys,
+    )
+    assert "AUTHORITATIVE (ns, op) TOTALS (J2" in out2
 
 
 def test_run_tail_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
