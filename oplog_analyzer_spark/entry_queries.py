@@ -1604,6 +1604,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("sampling_split_counts")
+def sampling_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash-split + per-stratum quota sample
+    over documents (rows-only: xxhash64 assignment has no DuckDB
+    counterpart; determinism / partition-invariance / disjointness /
+    proportion / quota invariants pytest-oracled in
+    tests/test_functions.py)."""
+    from .functions.sampling import hash_split, stratified_sample_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, weights={"train": 0.9, "val": 0.05, "test": 0.05})
+    sampled = stratified_sample_quota(split, ["lang"], 50)
+    return (
+        sampled.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

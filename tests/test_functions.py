@@ -496,3 +496,82 @@ def test_lsh_max_bucket_caps_candidates_deterministically(spark):
     # hot-bucket queries see at most max_bucket-1 candidates (minus self)
     per_q = capped1.groupBy("q_id").count().agg(F.max("count")).collect()[0][0]
     assert per_q <= 10
+
+
+# --- deterministic sampling / dataset-split primitives -------------------
+
+def _split_df(spark, n=20000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+
+
+def test_hash_split_invariants(spark):
+    """Train/val/test assignment must be a pure function of (id, seed):
+    deterministic, partition/order-invariant, disjoint-and-complete,
+    within tolerance of the weights, and STABLE when the corpus grows
+    (a row never migrates between splits on re-runs — eval contamination
+    guard)."""
+    from oplog_analyzer_spark.functions import sampling as SP
+
+    df = _split_df(spark)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in SP.hash_split(df, weights=w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in SP.hash_split(
+            df.repartition(13).orderBy(F.desc("doc_id")), weights=w
+        ).collect()
+    }
+    assert a == b  # deterministic + partition/order invariant
+    assert len(a) == 20000 and set(a.values()) == {"train", "val", "test"}
+    counts = {s: sum(1 for v in a.values() if v == s) for s in w}
+    for name, frac in w.items():
+        assert abs(counts[name] / 20000 - frac) < 0.02, (name, counts)
+    # growth stability: the first 5000 ids keep their labels in a 4x corpus
+    small = {
+        r["doc_id"]: r["split"]
+        for r in SP.hash_split(_split_df(spark, 5000), weights=w).collect()
+    }
+    assert all(a[k] == v for k, v in small.items())
+    # weights must be validated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SP.hash_split(df, weights={"a": 0.9, "b": 0.2})
+
+
+def test_stratified_fraction_nested_and_per_stratum(spark):
+    """Hash-threshold sampling: kept(0.1) ⊆ kept(0.3) (nested samples),
+    per-stratum fraction map honored, unlisted strata dropped, all
+    shuffle-free."""
+    from oplog_analyzer_spark.functions import sampling as SP
+
+    df = _split_df(spark)
+    k1 = {r["doc_id"] for r in SP.stratified_sample_fraction(df, ["lang"], 0.1).collect()}
+    k3 = {r["doc_id"] for r in SP.stratified_sample_fraction(df, ["lang"], 0.3).collect()}
+    assert k1 <= k3  # raising the rate only ADDS rows
+    assert abs(len(k3) / 20000 - 0.3) < 0.02
+    per = SP.stratified_sample_fraction(df, ["lang"], {"0": 0.5, "1": 0.05})
+    got = per.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert set(by) == {"0", "1"}  # stratum "2" unlisted → dropped
+    assert abs(by["0"] / 6667 - 0.5) < 0.05 and abs(by["1"] / 6667 - 0.05) < 0.03
+    # shuffle-free plan: no Exchange in the fraction form
+    plan = SP.stratified_sample_fraction(df, ["lang"], 0.1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_quota_exact_and_deterministic(spark):
+    from oplog_analyzer_spark.functions import sampling as SP
+
+    df = _split_df(spark, 300)  # 100 per stratum
+    q = SP.stratified_sample_quota(df, ["lang"], 40)
+    counts = {r["lang"]: r["count"] for r in q.groupBy("lang").count().collect()}
+    assert counts == {"0": 40, "1": 40, "2": 40}
+    again = SP.stratified_sample_quota(df.repartition(7), ["lang"], 40)
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, again.collect()))
+    # quota above stratum size degrades to the whole stratum
+    assert SP.stratified_sample_quota(df, ["lang"], 1000).count() == 300
