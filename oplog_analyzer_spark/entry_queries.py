@@ -1623,6 +1623,22 @@ def sampling_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("sequence_packing")
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count → bucketed greedy sequence packing over documents
+    (rows-only: bucket/order assignment is xxhash64-based; packing
+    invariants — completeness, cap, determinism, reference-greedy parity —
+    pytest-oracled in tests/test_functions.py)."""
+    from .functions.packing import pack_sequences, sequence_stats
+    from .functions.textstats import token_count
+
+    docs = token_count(load_table(spark, sf_dir, "documents"))
+    packed = pack_sequences(
+        docs.select("doc_id", "n_tokens"), max_tokens=256, n_buckets=16
+    )
+    return sequence_stats(packed).orderBy("bucket", "seq_idx")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,99 @@
+"""Sequence packing — filling fixed-size training context windows.
+
+Training pipelines batch documents into sequences of at most
+``max_tokens`` tokens; unpacked short documents waste compute as padding.
+Exact global bin packing is inherently serial, so the scalable form —
+used here — is bucketed greedy packing: rows are hashed into
+``n_buckets`` independent buckets, each bucket is packed greedily in a
+deterministic order, and every bucket's work is one task.  At 10^12 rows
+``n_buckets`` scales with the cluster (each bucket's row set must fit an
+executor's Arrow batch stream), the only shuffle is the bucket
+repartition, and the greedy scan is O(rows-in-bucket) inside one
+``applyInPandas`` call.  The scan is a tight Python loop by necessity —
+greedy packing is a serial prefix recurrence (each bin boundary depends
+on the previous fill), so the parallel axis is buckets, not rows; this is
+the one place in the repo where a per-row loop IS the algorithm.
+
+Determinism: bucket = xxhash64(seed, id) % n_buckets and pack order =
+(xxhash64, id) within the bucket, so the assignment is a pure function of
+(ids, seed, n_buckets) — invariant to physical partitioning and input
+order, reproducible across runs (same property as functions/sampling.py).
+
+Greedy rule: walk the bucket in hash order, start a new sequence whenever
+adding the next document would exceed ``max_tokens``.  A single document
+longer than ``max_tokens`` gets a sequence of its own (the downstream
+tokenizer truncates it; flagged via ``oversize``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every row a ``(bucket, seq_idx)`` packing slot; returns the
+    input columns plus ``bucket``, ``seq_idx`` (0-based within bucket) and
+    ``oversize``.  Join-free composition: aggregate on (bucket, seq_idx)
+    downstream to materialize the packed sequences themselves."""
+    import numpy as np
+
+    with_bucket = df.withColumn(
+        "__h", F.xxhash64(F.lit(seed), F.col(id_col))
+    ).withColumn("bucket", F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int"))
+
+    base_fields = with_bucket.drop("__h").schema.fields
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in base_fields)
+        + ", seq_idx int, oversize boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__h", id_col], kind="mergesort").reset_index(drop=True)
+        toks = pdf[tokens_col].to_numpy()
+        seq = np.empty(len(toks), dtype=np.int32)
+        # greedy scan: one pass, plain ndarray ops per element
+        cur, fill = 0, 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if fill > 0 and fill + t > max_tokens:
+                cur += 1
+                fill = 0
+            seq[i] = cur
+            fill += t
+        pdf = pdf.drop(columns="__h")
+        pdf["seq_idx"] = seq
+        pdf["oversize"] = pdf[tokens_col] > max_tokens
+        return pdf
+
+    return with_bucket.groupBy("bucket").applyInPandas(pack, schema=out_schema)
+
+
+def sequence_stats(packed: DataFrame, tokens_col: str = "n_tokens") -> DataFrame:
+    """Per-sequence fill report over pack_sequences output: doc count,
+    token total, and fill ratio against nothing but the group — one
+    aggregation, map-side combinable."""
+    return packed.groupBy("bucket", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).alias("total_tokens"),
+        F.max("oversize").alias("has_oversize"),
+    )
+
+
+def shuffle_deterministic(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Global deterministic training-order shuffle: sort by
+    xxhash64(seed, id) — reproducible epoch ordering as a pure function of
+    (ids, seed), re-shufflable per epoch by bumping the seed.  One range
+    exchange + sort; at scale this is the standard pre-training corpus
+    shuffle (the sort key is random-uniform, so range partitions balance)."""
+    return df.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col))

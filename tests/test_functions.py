@@ -575,3 +575,79 @@ def test_stratified_quota_exact_and_deterministic(spark):
     assert sorted(map(tuple, q.collect())) == sorted(map(tuple, again.collect()))
     # quota above stratum size degrades to the whole stratum
     assert SP.stratified_sample_quota(df, ["lang"], 1000).count() == 300
+
+
+def test_pack_sequences_invariants(spark):
+    """Bucketed greedy packing: every doc packed exactly once, no sequence
+    exceeds max_tokens (unless a single oversize doc owns it), assignment
+    deterministic and invariant to physical partitioning, oversize flagged,
+    and a Python reference greedy reproduces each bucket's assignment."""
+    from oplog_analyzer_spark.functions import packing as P
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(900)) + 1).cast("int").alias("n_tokens"),
+    )
+    packed = P.pack_sequences(df, max_tokens=1000, n_buckets=8).cache()
+    rows = packed.collect()
+    assert len(rows) == 500 and len({r["doc_id"] for r in rows}) == 500  # complete
+    stats = P.sequence_stats(packed).collect()
+    for s in stats:
+        assert s["total_tokens"] <= 1000 or (s["n_docs"] == 1 and s["has_oversize"])
+    # determinism + partition invariance
+    again = P.pack_sequences(
+        df.repartition(17).orderBy(F.desc("doc_id")), max_tokens=1000, n_buckets=8
+    )
+    key = lambda r: (r["doc_id"], r["bucket"], r["seq_idx"])
+    assert sorted(map(key, rows)) == sorted(map(key, again.collect()))
+    # fill efficiency: mean fill of non-final sequences well above half --
+    # greedy can't leave two consecutive sequences both under half full
+    fills = [s["total_tokens"] for s in stats]
+    assert sum(fills) / (len(fills) * 1000) > 0.5
+    # python reference greedy per bucket reproduces seq_idx exactly
+    import collections
+    by_bucket = collections.defaultdict(list)
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", F.xxhash64(F.lit(42), "doc_id").alias("h")
+        ).collect()
+    }
+    toks = {r["doc_id"]: r["n_tokens"] for r in df.collect()}
+    for r in rows:
+        by_bucket[r["bucket"]].append(r["doc_id"])
+    got = {r["doc_id"]: r["seq_idx"] for r in rows}
+    for b, ids in by_bucket.items():
+        ids.sort(key=lambda d: (hashes[d], d))
+        cur, fill = 0, 0
+        for d in ids:
+            t = toks[d]
+            if fill > 0 and fill + t > 1000:
+                cur, fill = cur + 1, 0
+            assert got[d] == cur, (b, d)
+            fill += t
+
+
+def test_pack_sequences_oversize_doc_gets_own_sequence(spark):
+    from oplog_analyzer_spark.functions import packing as P
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, 5000), (3, 60)], "doc_id long, n_tokens int"
+    )
+    packed = P.pack_sequences(df, max_tokens=100, n_buckets=1).collect()
+    big = next(r for r in packed if r["doc_id"] == 2)
+    assert big["oversize"]
+    others = [r["seq_idx"] for r in packed if r["doc_id"] != 2]
+    assert big["seq_idx"] not in others  # oversize doc shares with nobody
+
+
+def test_shuffle_deterministic_orders(spark):
+    from oplog_analyzer_spark.functions import packing as P
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = [r["doc_id"] for r in P.shuffle_deterministic(df).collect()]
+    b = [r["doc_id"] for r in P.shuffle_deterministic(df.repartition(9)).collect()]
+    assert a == b                 # reproducible epoch order
+    assert a != sorted(a)         # actually shuffled
+    c = [r["doc_id"] for r in P.shuffle_deterministic(df, seed=43).collect()]
+    assert a != c                 # new seed → new epoch order
