@@ -77,21 +77,56 @@ def stratified_sample_fraction(
     fraction's kept set (nested samples: raising 1% → 10% only adds rows,
     never swaps them).  ``fractions`` is one float for all strata or a
     {stratum-value-tuple or scalar: fraction} map over ``strata_cols``
-    values (unlisted strata are dropped)."""
+    values (unlisted strata are dropped).
+
+    Plan shape: small maps (≤64 strata) compile to one codegen'd OR chain
+    — still a narrow map.  Larger maps (a per-language or per-domain
+    policy can run to thousands of strata) switch to a broadcast inner
+    join against a threshold dimension: same semantics, same narrow
+    pipeline after the broadcast, and the plan stays O(1) in the map size
+    instead of a thousands-node boolean tree."""
     bucket = _hash_bucket(id_col, seed)
     if isinstance(fractions, dict):
-        key = (
-            F.col(strata_cols[0])
-            if len(strata_cols) == 1
-            else F.struct(*[F.col(c) for c in strata_cols])
-        )
-        cond = F.lit(False)
-        for val, frac in fractions.items():
-            lit_val = (
-                F.struct(*[F.lit(v) for v in val]) if isinstance(val, tuple) else F.lit(val)
+        if len(fractions) <= 64:
+            key = (
+                F.col(strata_cols[0])
+                if len(strata_cols) == 1
+                else F.struct(*[F.col(c) for c in strata_cols])
             )
-            cond = cond | ((key == lit_val) & (bucket < int(round(frac * _BUCKETS))))
-        return df.filter(cond)
+            cond = F.lit(False)
+            for val, frac in fractions.items():
+                lit_val = (
+                    F.struct(*[F.lit(v) for v in val])
+                    if isinstance(val, tuple)
+                    else F.lit(val)
+                )
+                cond = cond | ((key == lit_val) & (bucket < int(round(frac * _BUCKETS))))
+            return df.filter(cond)
+        spark = df.sparkSession
+        dim_rows = [
+            (*(val if isinstance(val, tuple) else (val,)), int(round(frac * _BUCKETS)))
+            for val, frac in fractions.items()
+        ]
+
+        # VALUES-literal dim, not createDataFrame(list): a Python-RDD-backed
+        # dim pays one Python worker per slice every time it broadcasts
+        def lit_sql(v) -> str:
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise TypeError(f"unsupported stratum value {v!r}")
+            return repr(v)
+
+        rows_sql = ", ".join(
+            "(" + ", ".join(lit_sql(x) for x in row) + ")" for row in dim_rows
+        )
+        cols_sql = ", ".join([*strata_cols, "__thresh"])
+        dim = spark.sql(f"SELECT * FROM VALUES {rows_sql} AS t({cols_sql})")
+        joined = df.join(F.broadcast(dim), on=strata_cols, how="inner")
+        # re-project to df's column order: the join moves the join keys
+        # first, and output schema must not depend on which path ran
+        # (the ADVICE-r03 routed() bug class)
+        return joined.filter(bucket < F.col("__thresh")).select(*df.columns)
     return df.filter(bucket < int(round(float(fractions) * _BUCKETS)))
 
 

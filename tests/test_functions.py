@@ -651,3 +651,31 @@ def test_shuffle_deterministic_orders(spark):
     assert a != sorted(a)         # actually shuffled
     c = [r["doc_id"] for r in P.shuffle_deterministic(df, seed=43).collect()]
     assert a != c                 # new seed → new epoch order
+
+
+def test_stratified_fraction_large_map_broadcast_path(spark):
+    """Maps beyond 64 strata switch from an OR-chain to a broadcast join
+    against a VALUES-literal threshold dim: same semantics and SAME output
+    schema/column order as the small-map path (the ADVICE-r03 routed() bug
+    class), plan O(1) in map size."""
+    from oplog_analyzer_spark.functions import sampling as SP
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100).cast("string").alias("lang"),
+        (F.col("id") * 2).alias("extra"),
+    )
+    big = {str(i): (0.5 if i < 50 else 0.05) for i in range(100)}  # 100 strata
+    out = SP.stratified_sample_fraction(df, ["lang"], big)
+    assert out.columns == df.columns  # order not path-dependent
+    rows = out.collect()
+    lo = sum(1 for r in rows if int(r["lang"]) < 50)
+    hi = len(rows) - lo
+    assert abs(lo / 5000 - 0.5) < 0.05 and abs(hi / 5000 - 0.05) < 0.03
+    # small-map path agrees exactly on a stratum present in both
+    small = SP.stratified_sample_fraction(df, ["lang"], {"7": 0.5})
+    assert {r["doc_id"] for r in small.collect()} == {
+        r["doc_id"] for r in rows if r["lang"] == "7"
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
