@@ -8,8 +8,9 @@ report.
   spark-submit --py-files dist/oplog_analyzer_spark.zip jobs/run_scan.py \
     --input <dir> [--start "2025-01-01 00:00:00"] [--end ...] \
     [--ns a.b,c.d] [--ops i,u] [--min-size N] [--max-size N] [--limit N] \
-    [--threshold N] [--shard-index 0,2] \
-    [--id-stats [--id-stats-threshold N] [--top-ids K]]
+    [--threshold N [--full-rows N]] [--shard-index 0,2] [--shard-stats] \
+    [--id-stats [--id-stats-threshold N] [--top-ids K]] \
+    [--dump <dir> [--dump-with-shard]]
 """
 
 from __future__ import annotations
@@ -57,6 +58,27 @@ def main() -> None:
     ap.add_argument("--top-ids", type=int, default=20,
                     help="A6: top-id report size (--topIdCount)")
     ap.add_argument(
+        "--dump",
+        help="S6: write the filtered rows to this parquet directory (the "
+        "reference's -d/--dump BSON sink, TailCommand.java:92-94)",
+    )
+    ap.add_argument(
+        "--dump-with-shard", action="store_true",
+        help="partition the dump by shard (--dumpWithShard analog — the "
+        "shard travels as a partition directory instead of an appended "
+        "field)",
+    )
+    ap.add_argument(
+        "--full-rows", type=int, default=0, metavar="N",
+        help="print up to N raw over-threshold rows (--fullDocument "
+        "analog, TailCommand.java:86-88); requires --threshold",
+    )
+    ap.add_argument(
+        "--shard-stats", action="store_true",
+        help="A8: also print the per-shard ns/op breakdown alongside the "
+        "global report (--shardStats, one GROUPING SETS pass)",
+    )
+    ap.add_argument(
         "--style", choices=("plain", "reference"), default="plain",
         help="report layout: 'reference' renders the byte-exact "
         "EntryAccumulator table (EntryAccumulator.java:77-177)",
@@ -98,26 +120,43 @@ def main() -> None:
     if args.ops:
         df = FL.include_ops(df, args.ops.split(","))
     df = FL.size_range(df, args.min_size, args.max_size)
-    if args.shard_index:
+    if args.shard_index or args.shard_stats or (args.dump and args.dump_with_shard):
         if "shard" not in df.columns:
             df = df.withColumn(
                 "shard", F.pmod(F.xxhash64("conv_id"), F.lit(args.shards)).cast("int")
             )
+    if args.shard_index:
         df = FL.shard_subset_by_index(
             df, [int(x) for x in args.shard_index.split(",")], "shard"
         )
     df = FL.row_limit(df, args.limit)
+    if args.dump:
+        writer = df.write.mode("overwrite")
+        if args.dump_with_shard:
+            writer = writer.partitionBy("shard")
+        writer.parquet(args.dump)
+        df = spark.read.parquet(args.dump)  # report over the dumped rows
     buckets = tuple(int(b) for b in args.buckets.split(",")) if args.buckets else ()
     print(console_report(
         A.ns_op_report(df, buckets=buckets), limit=50,
         style=args.style, buckets=buckets,
     ))
+    if args.shard_stats:
+        print("\n--- PER-SHARD BREAKDOWN (A8) ---")
+        print(console_report(
+            A.shard_grouping_sets(df, "shard").orderBy("shard", "ns", "op"),
+            limit=100,
+        ))
     if args.threshold is not None:
         # F5 side output: flagged rows reported separately, NOT removed
         # from the main aggregation above (TailCommand.java:716-723)
         over = FL.threshold_flag(df, args.threshold).filter("over_threshold")
         print(f"\n--- OPS >= {args.threshold} B (F5 side output) ---")
         print(console_report(A.ns_op_report(over), limit=50))
+        if args.full_rows:
+            print(f"--- FIRST {args.full_rows} OVER-THRESHOLD ROWS ---")
+            for r in over.orderBy("ns", "id").limit(args.full_rows).collect():
+                print(r.asDict())
     if args.id_stats:
         base = (
             FL.id_stats_threshold(df, args.id_stats_threshold)

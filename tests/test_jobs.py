@@ -42,6 +42,19 @@ def test_run_scan_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
     )
     assert "OPS >= 60 B (F5 side output)" in full
     assert "TOP 5 IDS (A5/A6)" in full
+    # dump sink + per-shard breakdown + full-row side print
+    # (the reference's -d/--dumpWithShard/--fullDocument/--shardStats)
+    dump_dir = str(tmp_path / "dump")
+    out2 = _run(
+        main,
+        ["--input", src, "--dump", dump_dir, "--dump-with-shard",
+         "--shard-stats", "--threshold", "60", "--full-rows", "2"],
+        monkeypatch, capsys,
+    )
+    assert "PER-SHARD BREAKDOWN (A8)" in out2
+    assert "OVER-THRESHOLD ROWS" in out2
+    dumped = spark.read.parquet(dump_dir)
+    assert dumped.count() > 0 and "shard" in dumped.columns
 
 
 def test_run_scan_cli_parity_unwind(spark, tmp_path, monkeypatch, capsys):
