@@ -31,6 +31,16 @@ def main() -> None:
         "present (AnalyzeCommand --statsFile, java:132-138, 763-822)",
     )
     ap.add_argument(
+        "--no-shard-key-analysis", action="store_true",
+        help="skip the shard-skew / cross-shard sections "
+        "(--shardKeyAnalysis=false)",
+    )
+    ap.add_argument(
+        "--no-workload-grouping", action="store_true",
+        help="skip workload buckets + collection patterns "
+        "(--workloadGrouping=false)",
+    )
+    ap.add_argument(
         "--unwind-mode", choices=("parity", "routed"), default="parity",
         help="applyOps unwind semantics: 'parity' replicates the reference "
         "(parent $cmd entry kept alongside inner ops, only *.$cmd "
@@ -60,24 +70,27 @@ def main() -> None:
             "shard", F.pmod(F.xxhash64("conv_id"), F.lit(args.shards)).cast("int")
         )
 
-    print("--- SHARD SKEW (A13) ---")
-    print(console_report(A.shard_skew(df, "shard")))
-    print("\n--- WORKLOAD GROUPS (A16) ---")
-    per_shard = df.groupBy(F.col("shard")).agg(
-        F.count(F.lit(1)).alias("ops"), F.sum("size").alias("bytes")
-    )
-    print(console_report(A.workload_buckets(per_shard)))
-    print("\n--- COLLECTION PATTERNS (A12) ---")
-    print(console_report(A.classify_collections(
-        df, heavy_avg=args.heavy_avg, frequent_ops=args.frequent_ops,
-        small_avg=args.small_avg,
-    ).orderBy(F.desc("total_bytes"))))
+    if not args.no_shard_key_analysis:
+        print("--- SHARD SKEW (A13) ---")
+        print(console_report(A.shard_skew(df, "shard")))
+    if not args.no_workload_grouping:
+        print("\n--- WORKLOAD GROUPS (A16) ---")
+        per_shard = df.groupBy(F.col("shard")).agg(
+            F.count(F.lit(1)).alias("ops"), F.sum("size").alias("bytes")
+        )
+        print(console_report(A.workload_buckets(per_shard)))
+        print("\n--- COLLECTION PATTERNS (A12) ---")
+        print(console_report(A.classify_collections(
+            df, heavy_avg=args.heavy_avg, frequent_ops=args.frequent_ops,
+            small_avg=args.small_avg,
+        ).orderBy(F.desc("total_bytes"))))
     print("\n--- TOP UPDATED IDS (A10) ---")
     print(console_report(
         A.update_frequency(df).orderBy(F.desc("update_count")).limit(args.top_ids)
     ))
-    print("\n--- CROSS-SHARD COMPARISON (A14) ---")
-    print(console_report(A.cross_shard_comparison(df, "shard")))
+    if not args.no_shard_key_analysis:
+        print("\n--- CROSS-SHARD COMPARISON (A14) ---")
+        print(console_report(A.cross_shard_comparison(df, "shard")))
     if args.stats_file:
         from oplog_analyzer_spark.operators.aggregate import ns_op_report
         from oplog_analyzer_spark.sources.stats_json import (

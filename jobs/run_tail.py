@@ -23,6 +23,13 @@ def main() -> None:
                     help="maintain the accumulator as applyInPandasWithState "
                          "operator state instead of merge-safe partials")
     ap.add_argument("--lag-wallclock", help="report lag vs this wallclock (P8/T4)")
+    ap.add_argument(
+        "--buckets",
+        help="comma-separated size thresholds added to the cumulative "
+        "accumulator (A3, the reference's --thresholdBuckets in tail "
+        "mode); part of the partials schema — keep it constant across "
+        "resumes of one work-dir",
+    )
     args = ap.parse_args()
 
     from oplog_analyzer_spark.operators.display import console_report
@@ -30,7 +37,8 @@ def main() -> None:
     from oplog_analyzer_spark.streaming.tail import TailStream
 
     spark = get_spark(master=None, app_name="oplog-tail")
-    tail = TailStream(spark, args.input, args.work_dir)
+    buckets = tuple(int(b) for b in args.buckets.split(",")) if args.buckets else ()
+    tail = TailStream(spark, args.input, args.work_dir, buckets=buckets)
     if args.stateful:
         tail.run_stateful_available()
         print(console_report(tail.stateful_report()))

@@ -51,9 +51,22 @@ class TailStream:
     """Incrementally tail a growing transcript directory, maintaining the
     cumulative ns::op accumulator report across micro-batches."""
 
-    def __init__(self, spark: SparkSession, input_dir: str, work_dir: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        work_dir: str,
+        buckets: tuple[int, ...] = (),
+    ) -> None:
+        """``buckets`` adds A3 threshold counters (rows with size strictly
+        > t, EntryAccumulator.java:65-70) to the accumulator — per-batch
+        partial sums, merged like every other counter.  The bucket set is
+        part of the partials schema: pick it when the work_dir is created
+        and keep it across resumes (the num_batches-adoption posture —
+        changing it mid-stream needs a fresh work_dir)."""
         self.spark = spark
         self.input_dir = input_dir
+        self.buckets = tuple(int(b) for b in buckets)
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.partials_dir = os.path.join(work_dir, "partials")
         self.metrics_dir = os.path.join(work_dir, "metrics")
@@ -75,13 +88,18 @@ class TailStream:
         by the caller — letting the heartbeat metrics derive from the same
         single scan."""
         parsed = parse_transcripts(batch, with_diff_stats=False)
-        return parsed.groupBy("ns", "op").agg(
+        aggs = [
             F.count(F.lit(1)).alias("count"),
             F.sum("size").alias("total_size"),
             F.min("size").alias("min_size"),
             F.max("size").alias("max_size"),
             F.max("ts").alias("latest_ts"),
-        )
+        ]
+        for b in self.buckets:
+            aggs.append(
+                F.sum(F.when(F.col("size") > b, 1).otherwise(0)).alias(f"gt_{b}")
+            )
+        return parsed.groupBy("ns", "op").agg(*aggs)
 
     def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Idempotent micro-batch sink.  foreachBatch is at-least-once: a
@@ -210,13 +228,16 @@ class TailStream:
         partials = self.spark.read.option("basePath", self.partials_dir).parquet(
             os.path.join(self.partials_dir, "batch_id=*")
         )
-        merged = partials.groupBy("ns", "op").agg(
+        aggs = [
             F.sum("count").alias("count"),
             F.sum("total_size").alias("total_size"),
             F.min("min_size").alias("min_size"),
             F.max("max_size").alias("max_size"),
             F.max("latest_ts").alias("latest_ts"),
-        )
+        ]
+        for b in self.buckets:
+            aggs.append(F.sum(f"gt_{b}").alias(f"gt_{b}"))
+        merged = partials.groupBy("ns", "op").agg(*aggs)
         return merged.withColumn(
             "avg_size", F.floor(F.col("total_size") / F.col("count")).cast("long")
         ).orderBy(F.desc("total_size"), "ns", "op")

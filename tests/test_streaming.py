@@ -116,3 +116,35 @@ def test_stateful_accumulator_equals_batch_and_resumes(spark, tmp_path):
     }
     assert got2 == _expected_report(spark, input_dir)
     assert sum(v[0] for v in got2.values()) > sum(v[0] for v in got1.values())
+
+
+def test_tail_threshold_buckets_incremental(spark, tmp_path):
+    """A3 buckets in tail mode (the reference's --thresholdBuckets on the
+    tail command): bucket counters accumulate through the per-batch
+    partials and the cumulative counts equal a batch recompute over both
+    drains' input."""
+    input_dir = str(tmp_path / "in_b")
+    T.generate_transcripts(spark, num_conversations=50, seed=7).coalesce(
+        2
+    ).write.mode("append").parquet(input_dir)
+
+    tail = TailStream(spark, input_dir, str(tmp_path / "wd_b"), buckets=(90, 120))
+    tail.run_available()
+    T.generate_transcripts(spark, num_conversations=30, seed=8).coalesce(
+        2
+    ).write.mode("append").parquet(input_dir)
+    tail.run_available()
+
+    got = {
+        (r["ns"], r["op"]): (r["count"], r["gt_90"], r["gt_120"])
+        for r in tail.report().collect()
+    }
+    batch = exclude_system_namespaces(
+        parse_transcripts(spark.read.parquet(input_dir), with_diff_stats=False)
+    )
+    want = {
+        (r["ns"], r["op"]): (r["count"], r["gt_90"], r["gt_120"])
+        for r in ns_op_report(batch, buckets=(90, 120)).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in got.values())  # buckets non-vacuous
