@@ -679,3 +679,18 @@ def test_stratified_fraction_large_map_broadcast_path(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """The packing plan's only exchange is the bucket repartition — the
+    100 TB cost model (one shuffle + per-bucket Arrow scan) is the plan
+    that actually compiles, not just the docstring."""
+    from oplog_analyzer_spark.functions import packing as P
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 500 + 1).cast("int").alias("n_tokens")
+    )
+    plan = P.pack_sequences(df, max_tokens=512, n_buckets=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
