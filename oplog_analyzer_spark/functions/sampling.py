@@ -136,17 +136,45 @@ def stratified_sample_quota(
     n_per_stratum: int,
     id_col: str = "doc_id",
     seed: int = 42,
+    prefilter_safety: float | None = None,
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, chosen by deterministic
-    hash order (the W1 ranked-window shape — one shuffle on the stratum
-    key; a hot stratum is bounded by the rank cutoff at the task that owns
-    it).  Deterministic and order-invariant like the fraction form, but
-    NOT nested across different n."""
-    w = Window.partitionBy(*strata_cols).orderBy(
-        F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col)
-    )
+    hash order — rank key (hash_bucket, id), the W1 ranked-window shape.
+    Deterministic and order-invariant like the fraction form, but NOT
+    nested across different n.
+
+    Scale path: the plain window puts a WHOLE stratum in one task and
+    sorts it — fine up to millions of rows per stratum, a spill-heavy
+    straggler at 10^9.  ``prefilter_safety`` (e.g. 8.0) first drops each
+    stratum to the hash-bucket prefix that keeps ~safety×n rows (one
+    count aggregate + a broadcast threshold join — both narrow/tiny), and
+    only the survivors enter the window.  Because the prefilter cuts on a
+    PREFIX of the same (hash_bucket, id) rank order, the final rows are
+    IDENTICAL to the exact path whenever ≥ n rows survive; the undershoot
+    probability is Chernoff-bounded (Binomial(cnt, safety·n/cnt) < n —
+    at safety 8 and n 50 that is < 1e-30), and strata smaller than
+    safety·n keep probability 1 and bypass the risk entirely.  Default
+    None = exact single-window form."""
+    bucket = _hash_bucket(id_col, seed)
+    base = df
+    if prefilter_safety is not None and prefilter_safety > 0:
+        counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__cnt"))
+        keep_p = F.least(
+            F.lit(1.0),
+            F.lit(float(prefilter_safety * n_per_stratum)) / F.col("__cnt"),
+        )
+        thresholds = counts.select(
+            *strata_cols,
+            F.ceil(keep_p * _BUCKETS).cast("long").alias("__keep_below"),
+        )
+        base = (
+            df.join(F.broadcast(thresholds), on=strata_cols, how="inner")
+            .filter(bucket < F.col("__keep_below"))
+            .select(*df.columns)
+        )
+    w = Window.partitionBy(*strata_cols).orderBy(bucket, F.col(id_col))
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        base.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )

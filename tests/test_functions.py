@@ -694,3 +694,22 @@ def test_pack_sequences_single_shuffle(spark):
     ).executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_stratified_quota_prefilter_equals_exact(spark):
+    """The scale path (hash-prefix prefilter before the ranked window)
+    must select the IDENTICAL rows as the exact single-window form — the
+    prefilter cuts a prefix of the same rank order.  Fixture: one 1000-row
+    stratum with safety*n = 80 expected survivors (the p<1 branch) and one
+    30-row stratum (the p=1 bypass)."""
+    from oplog_analyzer_spark.functions import sampling as SP
+
+    df = spark.range(1030).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "big").otherwise("small").alias("lang"),
+    )
+    exact = SP.stratified_sample_quota(df, ["lang"], 10)
+    fast = SP.stratified_sample_quota(df, ["lang"], 10, prefilter_safety=8.0)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, fast.collect()))
+    counts = {r["lang"]: r["count"] for r in fast.groupBy("lang").count().collect()}
+    assert counts == {"big": 10, "small": 10}
