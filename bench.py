@@ -21,6 +21,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Workload revision per headline query (VERDICT r04 "What's wrong" #3):
+# bump a query's rev whenever its DEFINITION changes (e.g. a5 grew the
+# sentinel doc-size aggregates in r4), so round-over-round comparisons of
+# BENCH_r{N}.json can tell a changed workload from a changed engine.
+QUERY_REV = {
+    "a1_ns_op_report": 1,
+    "a5_id_stats": 2,  # r4: + sentinel doc-size aggregates + planted doc_size
+    "a6_top_ids": 1,
+    "a8_grouping_sets": 1,
+    "a13_shard_skew": 1,
+    "x1_word_explode": 1,
+    "j3_broadcast_dims": 1,
+    "w1_topk_per_group": 1,
+    "w4_reassembly_events": 1,
+    "a17_recommendations": 1,
+    "tpch_q1": 1,
+    "tpch_q3ish": 1,
+}
+
 HEADLINE_QUERIES = [
     "a1_ns_op_report",
     "a5_id_stats",
@@ -153,6 +172,7 @@ def main() -> None:
                 "pipeline_turns": actual,
                 "queries": per_query,
                 "queries_median": per_query_median,
+                "query_rev": {n: QUERY_REV.get(n, 1) for n in HEADLINE_QUERIES},
                 "cpus": cpus_used,
                 "cpus_requested": cpus_requested,
                 "sf": sf_val,

@@ -12,13 +12,24 @@ narrow maps (one xxhash64 + compare per row, whole-stage codegen, no
 shuffle, no Python).  ``stratified_sample_quota`` needs exact per-stratum
 counts, so it shuffles once on the stratum key through a ranked window —
 use the fraction form when an approximate per-stratum rate is acceptable
-at scale.  xxhash64 has no DuckDB counterpart, so these are registered
-past the driver's oracle window and verified by the invariance pytest
-suite (determinism, partition/order invariance, disjoint-and-complete,
-proportion tolerance, exact quotas) — tests/test_functions.py.
+at scale.
+
+Hash choice (``hash_fn``): the default ``"xxhash64"`` is JVM-native and
+fastest, but has no twin in other engines; ``"md5"`` derives the bucket
+from the first 8 hex digits of md5(seed ":" id) — byte-identical in any
+engine with a standard md5 (DuckDB: ``md5('<seed>:' || CAST(id AS
+VARCHAR))``), which makes every split/sample assignment independently
+certifiable by SQL oracle.  Both are narrow codegen'd maps; all
+determinism/invariance properties hold for either.  The xxhash64 form's
+invariants (determinism, partition/order invariance,
+disjoint-and-complete, proportion tolerance, exact quotas) are
+pytest-verified in tests/test_functions.py; the md5 form is additionally
+driver-oracled end-to-end.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -28,8 +39,28 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
-def _hash_bucket(id_col: str, seed: int) -> F.Column:
-    return F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(_BUCKETS))
+def _hash_bucket(id_col: str, seed: int, hash_fn: str = "xxhash64") -> F.Column:
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(_BUCKETS))
+    if hash_fn == "md5":
+        # first 8 hex digits of md5("<seed>:<id>") parsed base-16 —
+        # reproducible in ANSI-SQL engines (DuckDB twin:
+        # CAST(('0x' || substr(md5(seed || ':' || id), 1, 8)) AS BIGINT))
+        h8 = F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1, 8,
+        )
+        return F.pmod(F.conv(h8, 16, 10).cast("long"), F.lit(_BUCKETS))
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def md5_bucket_sql(id_sql: str, seed: int = 42) -> str:
+    """The DuckDB-dialect twin of ``_hash_bucket(..., hash_fn='md5')`` —
+    kept beside the Spark form so the two expressions can't drift."""
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST({id_sql} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_BUCKETS}"
+    )
 
 
 def hash_split(
@@ -38,6 +69,7 @@ def hash_split(
     weights: dict[str, float] | None = None,
     seed: int = 42,
     out_col: str = "split",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Assign every row a deterministic split label by hashing its stable
     id: ``weights`` name→fraction (must sum to ≤ 1; any remainder falls in
@@ -52,7 +84,7 @@ def hash_split(
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"weights sum to {total} > 1")
-    bucket = _hash_bucket(id_col, seed)
+    bucket = _hash_bucket(id_col, seed, hash_fn)
     expr = None
     edge = 0.0
     names = list(weights)
@@ -71,6 +103,7 @@ def stratified_sample_fraction(
     fractions: dict | float,
     id_col: str = "doc_id",
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Keep ~fraction of each stratum by hash threshold — deterministic,
     shuffle-free, and each stratum's kept set is a SUBSET of any larger
@@ -85,7 +118,7 @@ def stratified_sample_fraction(
     join against a threshold dimension: same semantics, same narrow
     pipeline after the broadcast, and the plan stays O(1) in the map size
     instead of a thousands-node boolean tree."""
-    bucket = _hash_bucket(id_col, seed)
+    bucket = _hash_bucket(id_col, seed, hash_fn)
     if isinstance(fractions, dict):
         if len(fractions) <= 64:
             key = (
@@ -102,6 +135,13 @@ def stratified_sample_fraction(
                 )
                 cond = cond | ((key == lit_val) & (bucket < int(round(frac * _BUCKETS))))
             return df.filter(cond)
+        if "__thresh" in df.columns:
+            # the join introduces a __thresh threshold column; an input
+            # already carrying one would silently shadow it (ADVICE r04)
+            raise ValueError(
+                "input already has a '__thresh' column — rename it before "
+                "stratified_sample_fraction's broadcast path"
+            )
         spark = df.sparkSession
         dim_rows = [
             (*(val if isinstance(val, tuple) else (val,)), int(round(frac * _BUCKETS)))
@@ -115,6 +155,9 @@ def stratified_sample_fraction(
                 return "'" + v.replace("'", "''") + "'"
             if isinstance(v, bool) or not isinstance(v, (int, float)):
                 raise TypeError(f"unsupported stratum value {v!r}")
+            if isinstance(v, float) and not math.isfinite(v):
+                # repr(inf/nan) is not valid SQL (ADVICE r04)
+                raise ValueError(f"non-finite stratum value {v!r}")
             return repr(v)
 
         rows_sql = ", ".join(
@@ -137,6 +180,7 @@ def stratified_sample_quota(
     id_col: str = "doc_id",
     seed: int = 42,
     prefilter_safety: float | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, chosen by deterministic
     hash order — rank key (hash_bucket, id), the W1 ranked-window shape.
@@ -155,7 +199,7 @@ def stratified_sample_quota(
     at safety 8 and n 50 that is < 1e-30), and strata smaller than
     safety·n keep probability 1 and bypass the risk entirely.  Default
     None = exact single-window form."""
-    bucket = _hash_bucket(id_col, seed)
+    bucket = _hash_bucket(id_col, seed, hash_fn)
     base = df
     if prefilter_safety is not None and prefilter_safety > 0:
         counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__cnt"))

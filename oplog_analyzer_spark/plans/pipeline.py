@@ -156,7 +156,10 @@ class TranscriptPipeline:
             json.dump({"groups": groups}, f)
         os.replace(tmp, plan_path)  # atomic publish, never rewritten
         self._file_groups_cache = groups
-        state["file_plan"] = plan_path
+        # stored RELATIVE to work_dir so a moved/renamed work_dir still
+        # resumes (ADVICE r04 — the legacy inline layout was
+        # relocation-safe; the sidecar must be too)
+        state["file_plan"] = "file_plan.json"
         state["file_plan_n_files"] = len(files)
         self._save_checkpoint(state)
 
@@ -166,7 +169,14 @@ class TranscriptPipeline:
         if "file_groups" in state:  # legacy inline layout
             return state["file_groups"]
         if self._file_groups_cache is None:
-            with open(state["file_plan"]) as f:
+            plan = state["file_plan"]
+            if not os.path.isabs(plan):  # current layout: work_dir-relative
+                plan = os.path.join(self.work_dir, plan)
+            elif not os.path.exists(plan):
+                # r4 checkpoints stored the absolute path; if the work_dir
+                # moved, the sidecar moved with it — look beside us
+                plan = os.path.join(self.work_dir, os.path.basename(plan))
+            with open(plan) as f:
                 self._file_groups_cache = json.load(f)["groups"]
         return self._file_groups_cache
 

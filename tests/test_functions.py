@@ -713,3 +713,97 @@ def test_stratified_quota_prefilter_equals_exact(spark):
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, fast.collect()))
     counts = {r["lang"]: r["count"] for r in fast.groupBy("lang").count().collect()}
     assert counts == {"big": 10, "small": 10}
+
+
+def test_pack_sequences_auto_bucket_sizing(spark):
+    """Defaulted n_buckets must derive from the row count so no
+    applyInPandas group (materialized whole on one executor) exceeds the
+    target; an explicit n_buckets that implies >4x the target per bucket
+    is the executor-OOM configuration and must be rejected loudly."""
+    import pytest as _pytest
+
+    from oplog_analyzer_spark.functions import packing as P
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 90 + 1).cast("int").alias("n_tokens"),
+    )
+    packed = P.pack_sequences(df, max_tokens=256, target_rows_per_bucket=50)
+    rows = packed.collect()
+    assert len(rows) == 500  # complete under auto sizing
+    n_b = len({r["bucket"] for r in rows})
+    assert n_b == 10  # ceil(500 / 50)
+    # explicit n_buckets past the bound → refuse (500 rows / 1 bucket
+    # = 500 > 4 * 50)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        P.pack_sequences(df, max_tokens=256, n_buckets=1, target_rows_per_bucket=50)
+    # ... unless the caller takes responsibility explicitly
+    assert (
+        P.pack_sequences(
+            df, max_tokens=256, n_buckets=1, target_rows_per_bucket=50,
+            check_explicit_buckets=False,
+        ).count()
+        == 500
+    )
+
+
+def test_sampling_md5_mode_matches_duckdb(spark):
+    """hash_fn='md5' makes split/fraction/quota byte-reproducible by an
+    external SQL engine: DuckDB computing the same md5-bucket expression
+    selects the IDENTICAL rows and labels."""
+    from oplog_analyzer_spark.functions import sampling as SP
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") % 3).cast("string").alias("lang"))
+    bucket_sql = SP.md5_bucket_sql("doc_id")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT i AS doc_id, CAST(i % 3 AS VARCHAR) "
+                "AS lang FROM range(2000) r(i)")
+    # split
+    got = {r["doc_id"]: r["split"]
+           for r in SP.hash_split(df, weights={"train": 0.8, "val": 0.1,
+                                               "test": 0.1},
+                                  hash_fn="md5").collect()}
+    exp = dict(con.execute(
+        f"SELECT doc_id, CASE WHEN {bucket_sql} < 800000 THEN 'train' "
+        f"WHEN {bucket_sql} < 900000 THEN 'val' ELSE 'test' END FROM t"
+    ).fetchall())
+    assert got == exp
+    # fraction
+    kept = {r["doc_id"] for r in SP.stratified_sample_fraction(
+        df, ["lang"], 0.25, hash_fn="md5").collect()}
+    exp_kept = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM t WHERE {bucket_sql} < 250000").fetchall()}
+    assert kept == exp_kept
+    # quota
+    q = {r["doc_id"] for r in SP.stratified_sample_quota(
+        df, ["lang"], 17, hash_fn="md5").collect()}
+    exp_q = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
+        f"(PARTITION BY lang ORDER BY {bucket_sql}, doc_id) AS rk FROM t) "
+        f"WHERE rk <= 17").fetchall()}
+    assert q == exp_q
+
+
+def test_stratified_fraction_broadcast_path_guards(spark):
+    """ADVICE r04: the >64-strata VALUES-literal path must reject
+    non-finite float stratum values (repr(inf) is not SQL) and an input
+    already carrying the reserved '__thresh' column."""
+    import pytest as _pytest
+
+    from oplog_analyzer_spark.functions import sampling as SP
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 80).cast("double").alias("g")
+    )
+    big_map = {float(i): 0.5 for i in range(80)}
+    bad_map = dict(big_map)
+    bad_map[float("inf")] = 0.5
+    with _pytest.raises(ValueError, match="non-finite"):
+        SP.stratified_sample_fraction(df, ["g"], bad_map)
+    with _pytest.raises(ValueError, match="__thresh"):
+        SP.stratified_sample_fraction(
+            df.withColumn("__thresh", F.lit(1)), ["g"], big_map
+        )
+    # the clean 80-stratum map still works (broadcast path)
+    assert SP.stratified_sample_fraction(df, ["g"], big_map).count() > 0

@@ -208,8 +208,18 @@ def test_pipeline_file_group_mode_matches_staged(spark, transcripts, tmp_path):
     import os as _os
 
     assert _os.path.getsize(filemode.checkpoint_path) < 4096
-    with open(state["file_plan"]) as f:
+    # the sidecar path is stored RELATIVE to work_dir (ADVICE r04:
+    # a moved/renamed work_dir must still resume)
+    assert not _os.path.isabs(state["file_plan"])
+    with open(_os.path.join(filemode.work_dir, state["file_plan"])) as f:
         assert _json.load(f)["groups"] == groups
+    # relocation: a pipeline pointed at a MOVED copy of the work_dir
+    # resolves the same plan
+    import shutil as _shutil
+    moved = str(tmp_path / "b_moved")
+    _shutil.copytree(filemode.work_dir, moved)
+    relocated = TranscriptPipeline(spark, moved, cat, num_batches=3)
+    assert relocated._file_groups(state) == groups
     a = sorted(map(tuple, staged.final_aggregates().collect()))
     b = sorted(map(tuple, filemode.final_aggregates().collect()))
     assert a == b

@@ -268,16 +268,32 @@ def main() -> None:
     # Evidence = the passing 4x steps; out-of-regime runs (see
     # substrate_note) are RETAINED with pass:false for transparency.
     evidence = sorted(k for k, r in runs.items() if r["pass"])
+    # The GATE is the most recent in-regime measurement, not any-ever
+    # (ADVICE r04: an any-evidence gate can never flip back on a
+    # regression).  Runs carrying a regime_note straddle the substrate's
+    # capacity knee and measure the host, not the engine — they neither
+    # pass nor fail the gate.
+    in_regime = {k: r for k, r in runs.items() if "regime_note" not in r}
+    latest_key = (
+        max(in_regime, key=lambda k: in_regime[k].get("measured_at", ""))
+        if in_regime
+        else None
+    )
+    latest_pass = bool(latest_key and in_regime[latest_key]["pass"])
     summary = {
         "runs": runs,
         "target": 0.8,
         "evidence": evidence,
-        "pass": bool(evidence),
+        "latest_in_regime": latest_key,
+        "latest_pass": latest_pass,
+        "pass": latest_pass,
         "pass_rule": (
-            "criterion evidenced when ≥1 four-x parallelism step measured "
-            "INSIDE the substrate's real-capacity regime reaches ≥0.8 "
-            "efficiency; steps that straddle the (time-varying) capacity "
-            "knee are kept above with pass:false rather than deleted"
+            "gate = the MOST RECENT in-regime (no regime_note) run's "
+            "efficiency ≥0.8, so a scaling regression flips it; "
+            "'evidence' lists every passing four-x step ever measured "
+            "inside the substrate's real-capacity regime; steps that "
+            "straddle the (time-varying) capacity knee are kept in 'runs' "
+            "with pass:false and a regime_note rather than deleted"
         ),
         "substrate_note": (
             "The shared-host VM's effective capacity is TIME-VARYING "
