@@ -34,11 +34,13 @@ the operation testable and idempotent.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import filters as FL
 from ..operators.filters import exclude_system_namespaces
 from ..operators.parse import parse_transcripts
 
@@ -49,7 +51,31 @@ TRANSCRIPT_SCHEMA = (
 
 class TailStream:
     """Incrementally tail a growing transcript directory, maintaining the
-    cumulative ns::op accumulator report across micro-batches."""
+    cumulative ns::op accumulator report across micro-batches.
+
+    Carries the reference tail command's full option battery
+    (TailCommand.java:74-123, per-row path :552-773): namespace/op
+    include-lists (F2/F3), size range (F4), threshold side-output (F5,
+    with the --fullDocument raw-row dump), shard subset (F8), the dump
+    sink (--dump/--dumpWithShard as a per-batch routed parquet sink), and
+    cumulative per-id statistics (--idStats/--idStatsThreshold/
+    --topIdCount, A5/A6/F6) maintained as a second merge-safe partials
+    table.  ``doc_sizes_path`` is the --fetchDocSizes analog: a broadcast
+    lookup dimension of current document sizes joined per micro-batch,
+    with the reference's -1 "unknown" sentinel when the document is
+    missing (TailCommand.java:398-463; IdStatisticsManager.java:38-90).
+    """
+
+    #: options that define the MEANING of the cumulative partials; pinned
+    #: in work_dir/tail_meta.json at creation and enforced on resume
+    #: (ADVICE r04: resuming with a different --buckets silently
+    #: undercounted via null gt_* columns — now it raises at init)
+    _META_FIELDS = (
+        "buckets", "include_namespaces", "include_ops", "min_size",
+        "max_size", "threshold", "full_document", "dump", "dump_with_shard",
+        "id_stats", "id_stats_threshold", "has_doc_sizes", "shard_index",
+        "n_shards",
+    )
 
     def __init__(
         self,
@@ -57,21 +83,100 @@ class TailStream:
         input_dir: str,
         work_dir: str,
         buckets: tuple[int, ...] = (),
+        include_namespaces: list[str] | None = None,
+        include_ops: list[str] | None = None,
+        min_size: int | None = None,
+        max_size: int | None = None,
+        threshold: int | None = None,
+        full_document: bool = False,
+        dump: bool = False,
+        dump_with_shard: bool = False,
+        id_stats: bool = False,
+        id_stats_threshold: int = 0,
+        doc_sizes_path: str | None = None,
+        shard_index: list[int] | None = None,
+        n_shards: int = 4,
     ) -> None:
         """``buckets`` adds A3 threshold counters (rows with size strictly
         > t, EntryAccumulator.java:65-70) to the accumulator — per-batch
-        partial sums, merged like every other counter.  The bucket set is
-        part of the partials schema: pick it when the work_dir is created
-        and keep it across resumes (the num_batches-adoption posture —
-        changing it mid-stream needs a fresh work_dir)."""
+        partial sums, merged like every other counter.
+
+        Every option above changes what the cumulative tables MEAN, so the
+        full set is written to ``work_dir/tail_meta.json`` when the
+        work_dir is created and a resume with a different configuration
+        raises — the reference has no resume at all (TailCommand.java:540),
+        so the only faithful resume is one that continues the exact same
+        job.
+
+        ``shard_index`` filters the synthesized shard space directly
+        (shard = xxhash64(conv_id) % n_shards, ids 0..n_shards-1): the
+        reference resolves --shardIndex positions against the shard list
+        ONCE at startup (TailCommand.java:966-989), and with a synthesized
+        0..n-1 id space position == id; resolving per micro-batch would
+        make the filter time-varying as shards appear."""
         self.spark = spark
         self.input_dir = input_dir
+        self.work_dir = work_dir
         self.buckets = tuple(int(b) for b in buckets)
+        self.include_namespaces = list(include_namespaces or [])
+        self.include_ops = list(include_ops or [])
+        self.min_size = min_size
+        self.max_size = max_size
+        self.threshold = threshold
+        self.full_document = bool(full_document)
+        self.dump = bool(dump)
+        self.dump_with_shard = bool(dump_with_shard)
+        self.id_stats = bool(id_stats)
+        self.id_stats_threshold = int(id_stats_threshold)
+        self.doc_sizes_path = doc_sizes_path
+        self.shard_index = sorted(int(i) for i in shard_index) if shard_index else None
+        self.n_shards = int(n_shards)
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.partials_dir = os.path.join(work_dir, "partials")
         self.metrics_dir = os.path.join(work_dir, "metrics")
+        self.id_partials_dir = os.path.join(work_dir, "id_partials")
+        self.over_partials_dir = os.path.join(work_dir, "over_partials")
+        self.over_rows_dir = os.path.join(work_dir, "over_rows")
+        self.dump_dir = os.path.join(work_dir, "dump")
         self.stateful_dir = os.path.join(work_dir, "stateful")
         self.stateful_checkpoint_dir = os.path.join(work_dir, "stateful_ckpt")
+        self._enforce_meta()
+
+    # -- configuration pinning ---------------------------------------------
+    def _meta(self) -> dict:
+        m = {k: getattr(self, k, None) for k in self._META_FIELDS}
+        m["buckets"] = list(self.buckets)
+        m["has_doc_sizes"] = self.doc_sizes_path is not None
+        return m
+
+    def _enforce_meta(self) -> None:
+        """Pin the accumulator-defining options at work_dir creation;
+        raise on resume mismatch instead of silently merging partials with
+        different meanings (e.g. missing gt_* bucket columns surfacing as
+        nulls).  Pre-existing work_dirs without a meta file (pre-r5
+        layouts) adopt the current configuration."""
+        path = os.path.join(self.work_dir, "tail_meta.json")
+        mine = self._meta()
+        if os.path.exists(path):
+            with open(path) as f:
+                pinned = json.load(f)
+            diffs = {
+                k: (pinned.get(k), mine[k])
+                for k in self._META_FIELDS
+                if pinned.get(k) != mine[k]
+            }
+            if diffs:
+                raise ValueError(
+                    f"work_dir {self.work_dir} was created with a different "
+                    f"tail configuration; changing it mid-stream corrupts "
+                    f"the cumulative tables (use a fresh work_dir): {diffs}"
+                )
+            return
+        os.makedirs(self.work_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(mine, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)  # atomic publish
 
     def _source(self) -> DataFrame:
         return (
@@ -80,14 +185,26 @@ class TailStream:
             .parquet(self.input_dir)
         )
 
-    def _batch_aggregate(self, batch: DataFrame) -> DataFrame:
-        """Per-batch partial of the A1 accumulator — merge-safe columns
-        only (count/total/min/max; avg derived at read time).  Grouped over
-        ALL namespaces; the system-ns exclusion is applied to the GROUPS
-        (ns is a group key, so filtering after the aggregate is identical)
-        by the caller — letting the heartbeat metrics derive from the same
-        single scan."""
-        parsed = parse_transcripts(batch, with_diff_stats=False)
+    # -- per-batch transforms ------------------------------------------------
+    def _apply_filters(self, parsed: DataFrame) -> DataFrame:
+        """The pre-aggregate filter battery (F2/F3/F4/F8) — all plain
+        Catalyst predicates, identical to the run_scan bounded path, so
+        incremental == batch holds by construction."""
+        df = parsed
+        if self.shard_index is not None or self.dump_with_shard:
+            df = df.withColumn(
+                "shard",
+                F.pmod(F.xxhash64("conv_id"), F.lit(self.n_shards)).cast("int"),
+            )
+        if self.shard_index is not None:
+            df = FL.shard_subset(df, self.shard_index, "shard")
+        df = FL.include_namespaces(df, self.include_namespaces)
+        df = FL.include_ops(df, self.include_ops)
+        return FL.size_range(df, self.min_size, self.max_size)
+
+    def _ns_op_partial(self, rows: DataFrame, with_buckets: bool = True) -> DataFrame:
+        """Merge-safe (ns,op) partial — count/total/min/max (+A3 buckets);
+        avg derived at read time."""
         aggs = [
             F.count(F.lit(1)).alias("count"),
             F.sum("size").alias("total_size"),
@@ -95,11 +212,41 @@ class TailStream:
             F.max("size").alias("max_size"),
             F.max("ts").alias("latest_ts"),
         ]
-        for b in self.buckets:
-            aggs.append(
-                F.sum(F.when(F.col("size") > b, 1).otherwise(0)).alias(f"gt_{b}")
+        if with_buckets:
+            for b in self.buckets:
+                aggs.append(
+                    F.sum(F.when(F.col("size") > b, 1).otherwise(0)).alias(f"gt_{b}")
+                )
+        return rows.groupBy("ns", "op").agg(*aggs)
+
+    def _batch_aggregate(self, batch: DataFrame) -> DataFrame:
+        """Per-batch partial of the A1 accumulator.  Grouped over ALL
+        namespaces; the system-ns exclusion is applied to the GROUPS
+        (ns is a group key, so filtering after the aggregate is identical)
+        by the caller — letting the heartbeat metrics derive from the same
+        single scan."""
+        return self._ns_op_partial(
+            self._apply_filters(parse_transcripts(batch, with_diff_stats=False))
+        )
+
+    def _id_stats_partial(self, user: DataFrame) -> DataFrame:
+        """Per-batch (ns,id) partial (A5/F6): only rows ≥ the independent
+        id-stats threshold enter (IdStatisticsManager.java:70-72); with a
+        doc-size dimension, doc-size aggregates skip the -1 "unknown"
+        sentinel while count/oplog-size include every row."""
+        from ..operators.aggregate import id_stats
+
+        src = user
+        if self.id_stats_threshold:
+            src = FL.id_stats_threshold(src, self.id_stats_threshold)
+        doc_col = None
+        if self.doc_sizes_path is not None:
+            dim = self.spark.read.parquet(self.doc_sizes_path)
+            src = src.join(F.broadcast(dim), on=["ns", "id"], how="left").withColumn(
+                "doc_size", F.coalesce(F.col("doc_size"), F.lit(-1).cast("long"))
             )
-        return parsed.groupBy("ns", "op").agg(*aggs)
+            doc_col = "doc_size"
+        return id_stats(src, doc_size_col=doc_col)
 
     def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Idempotent micro-batch sink.  foreachBatch is at-least-once: a
@@ -107,28 +254,64 @@ class TailStream:
         the batch with the SAME batch_id on resume.  Writing each batch to
         its own ``batch_id=<k>/`` partition with overwrite makes the replay
         a no-op rewrite instead of an append that report() would
-        double-count.
+        double-count — the same idempotence contract for EVERY sink below
+        (dump, id partials, threshold side-output).
 
-        Single scan per micro-batch (VERDICT r02 #4): the (ns,op) partial
-        aggregate is computed once and PERSISTED (it is group-count-sized);
-        the partials write filters its groups, and the T3 heartbeat is
-        derived from the same cached rows (rows = Σcount, latest_ts =
-        max(latest_ts)) instead of a second pass over the batch."""
-        agg = self._batch_aggregate(batch).persist()
+        Single scan per micro-batch (VERDICT r02 #4): the filtered parse is
+        computed once; when only the accumulator runs, the group-count-sized
+        (ns,op) partial is what's persisted, and the T3 heartbeat derives
+        from the same cached rows (rows = Σcount, latest_ts =
+        max(latest_ts)).  When row-level sinks are on (dump / id-stats /
+        threshold), the micro-batch's filtered ROWS are persisted instead —
+        bounded by maxFilesPerTrigger — and every sink reads the cache."""
+        base = self._apply_filters(parse_transcripts(batch, with_diff_stats=False))
+        row_sinks = self.dump or self.id_stats or self.threshold is not None
+        if row_sinks:
+            base = base.persist()
         try:
-            exclude_system_namespaces(agg).write.mode("overwrite").parquet(
-                os.path.join(self.partials_dir, f"batch_id={batch_id}")
-            )
-            # T3 heartbeat record: rows + lag proxy per batch (all ns,
-            # matching the raw batch row count)
-            agg.agg(
-                F.coalesce(F.sum("count"), F.lit(0)).alias("rows"),
-                F.max("latest_ts").alias("latest_ts"),
-            ).write.mode("overwrite").parquet(
-                os.path.join(self.metrics_dir, f"batch_id={batch_id}")
-            )
+            agg = self._ns_op_partial(base).persist()
+            try:
+                exclude_system_namespaces(agg).write.mode("overwrite").parquet(
+                    os.path.join(self.partials_dir, f"batch_id={batch_id}")
+                )
+                # T3 heartbeat record: rows + lag proxy per batch (all ns,
+                # matching the raw batch row count)
+                agg.agg(
+                    F.coalesce(F.sum("count"), F.lit(0)).alias("rows"),
+                    F.max("latest_ts").alias("latest_ts"),
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.metrics_dir, f"batch_id={batch_id}")
+                )
+            finally:
+                agg.unpersist()
+            if not row_sinks:
+                return
+            # the reference's per-row tail path operates post system-ns
+            # exclusion (TailCommand.java:566-568)
+            user = exclude_system_namespaces(base)
+            if self.dump:
+                writer = user.write.mode("overwrite")
+                if self.dump_with_shard:
+                    writer = writer.partitionBy("shard")
+                writer.parquet(os.path.join(self.dump_dir, f"batch_id={batch_id}"))
+            if self.id_stats:
+                self._id_stats_partial(user).write.mode("overwrite").parquet(
+                    os.path.join(self.id_partials_dir, f"batch_id={batch_id}")
+                )
+            if self.threshold is not None:
+                over = user.filter(F.col("size") >= self.threshold)
+                self._ns_op_partial(over, with_buckets=False).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(self.over_partials_dir, f"batch_id={batch_id}")
+                )
+                if self.full_document:
+                    over.write.mode("overwrite").parquet(
+                        os.path.join(self.over_rows_dir, f"batch_id={batch_id}")
+                    )
         finally:
-            agg.unpersist()
+            if row_sinks:
+                base.unpersist()
 
     def run_available(self) -> None:
         """Drain all currently-available input (Trigger.AvailableNow), then
@@ -151,6 +334,14 @@ class TailStream:
         accumulator exactly (T8) — no partial-merging at read time.  Each
         micro-batch emits the UPDATED groups; the sink keeps the newest row
         per group (idempotent per-batch_id overwrite, as _sink_batch)."""
+        if self.dump or self.id_stats or self.threshold is not None:
+            # the row-level sinks live on the partials path (_sink_batch);
+            # the stateful form maintains ONLY the ns::op accumulator
+            raise ValueError(
+                "dump/id_stats/threshold require the partials path "
+                "(run_available); the stateful accumulator carries only "
+                "the ns::op report"
+            )
         import pandas as pd  # noqa: F401  (worker-side import)
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -183,7 +374,9 @@ class TailStream:
             )
 
         parsed = exclude_system_namespaces(
-            parse_transcripts(self._source(), with_diff_stats=False)
+            self._apply_filters(
+                parse_transcripts(self._source(), with_diff_stats=False)
+            )
         )
         updates = parsed.groupBy("ns", "op").applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
@@ -241,6 +434,72 @@ class TailStream:
         return merged.withColumn(
             "avg_size", F.floor(F.col("total_size") / F.col("count")).cast("long")
         ).orderBy(F.desc("total_size"), "ns", "op")
+
+    def over_threshold_report(self) -> DataFrame:
+        """Cumulative F5 side-output report: the ns::op accumulator over
+        rows with size ≥ threshold (TailCommand.java:716-723), merged from
+        the per-batch over-threshold partials with the same algebra as
+        report()."""
+        if self.threshold is None:
+            raise ValueError("TailStream was created without threshold")
+        partials = self.spark.read.option(
+            "basePath", self.over_partials_dir
+        ).parquet(os.path.join(self.over_partials_dir, "batch_id=*"))
+        merged = partials.groupBy("ns", "op").agg(
+            F.sum("count").alias("count"),
+            F.sum("total_size").alias("total_size"),
+            F.min("min_size").alias("min_size"),
+            F.max("max_size").alias("max_size"),
+            F.max("latest_ts").alias("latest_ts"),
+        )
+        return merged.withColumn(
+            "avg_size", F.floor(F.col("total_size") / F.col("count")).cast("long")
+        ).orderBy(F.desc("total_size"), "ns", "op")
+
+    def id_stats_report(self) -> DataFrame:
+        """Cumulative A5 per-(ns,id) statistics across all micro-batches:
+        the per-batch partials merge with the accumulator algebra
+        (counts/sums add, mins/maxes extremize — IdStatisticsManager's
+        updateStats as a distributive aggregate).  Doc-size aggregates
+        merge null-safely: a batch where an id had only -1 "unknown"
+        sentinel rows contributes null partials that sum/min/max skip,
+        exactly matching a single-pass recompute."""
+        if not self.id_stats:
+            raise ValueError("TailStream was created without id_stats")
+        partials = self.spark.read.option("basePath", self.id_partials_dir).parquet(
+            os.path.join(self.id_partials_dir, "batch_id=*")
+        )
+        aggs = [
+            F.sum("count").alias("count"),
+            F.sum("total_oplog_size").alias("total_oplog_size"),
+            F.min("min_oplog_size").alias("min_oplog_size"),
+            F.max("max_oplog_size").alias("max_oplog_size"),
+        ]
+        if self.doc_sizes_path is not None:
+            aggs += [
+                F.sum("total_doc_size").alias("total_doc_size"),
+                F.min("min_doc_size").alias("min_doc_size"),
+                F.max("max_doc_size").alias("max_doc_size"),
+                F.sum("doc_size_count").alias("doc_size_count"),
+            ]
+        return partials.groupBy("ns", "id").agg(*aggs)
+
+    def top_ids(self, k: int = 20) -> DataFrame:
+        """Cumulative A6 top-k id report (--topIdCount, default 20) over
+        the merged id statistics — TakeOrderedAndProject, no full sort."""
+        from ..operators.aggregate import top_k_ids
+
+        return top_k_ids(self.id_stats_report(), k=k)
+
+    def dumped_rows(self) -> DataFrame:
+        """All rows written by the dump sink across batches (--dump): the
+        filtered, parsed, system-ns-excluded rows, one partition dir per
+        micro-batch (replay-overwritten, so exactly-once content)."""
+        if not self.dump:
+            raise ValueError("TailStream was created without dump")
+        return self.spark.read.option("basePath", self.dump_dir).parquet(
+            os.path.join(self.dump_dir, "batch_id=*")
+        )
 
     def lag_seconds(self, now_ts: str) -> DataFrame:
         """T4/P8 — lag vs a supplied wallclock (TailCommand.java:1073-1082;

@@ -128,6 +128,20 @@ def test_run_tail_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
         monkeypatch, capsys,
     )
     assert "avg_size" in out2
+    # the reference flagship form: tail -t N --idStats --dump
+    # --includeNamespace ... (TailCommand.java:74-123) on the streaming path
+    out3 = _run(
+        main,
+        ["--input", src, "--work-dir", str(tmp_path / "wd_full"),
+         "--ns", ",".join(f"db{d}.coll{c}" for d in range(4) for c in range(8)),
+         "--ops", "i,u,d", "--min-size", "40",
+         "--threshold", "100", "--id-stats", "--id-stats-threshold", "60",
+         "--top-ids", "7", "--dump"],
+        monkeypatch, capsys,
+    )
+    assert "OPS >= 100 B" in out3
+    assert "TOP 7 IDS" in out3
+    assert "dump sink:" in out3
 
 
 def test_run_sample_cli(spark, transcripts, tmp_path, monkeypatch, capsys):

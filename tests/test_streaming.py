@@ -148,3 +148,147 @@ def test_tail_threshold_buckets_incremental(spark, tmp_path):
     }
     assert got == want
     assert any(v[1] > 0 for v in got.values())  # buckets non-vacuous
+
+
+# -- r5: the full TailCommand option battery on the streaming path ---------
+
+import pytest
+
+from oplog_analyzer_spark.operators import filters as FL
+from oplog_analyzer_spark.operators.aggregate import id_stats, top_k_ids
+
+
+def _battery_batch_user(spark, input_dir, ns_list, min_size, max_size):
+    """Batch-side recompute of the tail battery's filtered per-row stream
+    (same composition as TailStream._apply_filters + system-ns exclusion)."""
+    parsed = parse_transcripts(spark.read.parquet(input_dir), with_diff_stats=False)
+    df = FL.include_namespaces(parsed, ns_list)
+    df = FL.size_range(df, min_size, max_size)
+    return exclude_system_namespaces(df)
+
+
+def test_tail_full_battery_incremental_equals_batch(spark, tmp_path):
+    """The reference flagship `tail -t N --idStats --dump --includeNamespace
+    ... --fetchDocSizes` (TailCommand.java:74-123) as a resumable stream:
+    after two grow-the-directory drains, every cumulative surface — main
+    accumulator, F5 over-threshold report + raw rows, A5/A6 id stats with
+    the -1 doc-size sentinel, dump sink — equals the one-shot batch
+    recompute over the union of both drains' input."""
+    input_dir = str(tmp_path / "in_fb")
+    T.generate_transcripts(spark, num_conversations=60, seed=21).coalesce(2).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    ns_list = [f"db{d}.coll{c}" for d in range(4) for c in range(8) if (d + c) % 2 == 0]
+    # doc-size dimension covering only SOME (ns,id) pairs → the uncovered
+    # rest exercises the -1 "unknown" sentinel (TailCommand.java:398-463)
+    parsed0 = parse_transcripts(spark.read.parquet(input_dir), with_diff_stats=False)
+    dim_dir = str(tmp_path / "doc_sizes")
+    (
+        parsed0.select("ns", "id").distinct()
+        .filter(F.pmod(F.xxhash64("ns", "id"), F.lit(2)) == 0)
+        .withColumn("doc_size", (F.pmod(F.xxhash64(F.lit(5), "id"), F.lit(900)) + 100))
+        .write.parquet(dim_dir)
+    )
+
+    kw = dict(
+        include_namespaces=ns_list, min_size=50, max_size=130,
+        threshold=100, full_document=True, dump=True,
+        id_stats=True, id_stats_threshold=70, doc_sizes_path=dim_dir,
+    )
+    tail = TailStream(spark, input_dir, str(tmp_path / "wd_fb"), **kw)
+    tail.run_available()
+    T.generate_transcripts(spark, num_conversations=40, seed=22).coalesce(2).write.mode(
+        "append"
+    ).parquet(input_dir)
+    tail.run_available()  # resumes: consumes only the new files
+
+    user = _battery_batch_user(spark, input_dir, ns_list, 50, 130)
+
+    # main cumulative accumulator == batch
+    got = {(r["ns"], r["op"]): (r["count"], r["total_size"], r["min_size"],
+                                r["max_size"], r["avg_size"])
+           for r in tail.report().collect()}
+    want = {(r["ns"], r["op"]): (r["count"], r["total_size"], r["min_size"],
+                                 r["max_size"], r["avg_size"])
+            for r in ns_op_report(user).collect()}
+    assert got == want and got
+
+    # F5 cumulative over-threshold side output == batch filter >= 150
+    got_over = {(r["ns"], r["op"]): (r["count"], r["total_size"])
+                for r in tail.over_threshold_report().collect()}
+    want_over = {(r["ns"], r["op"]): (r["count"], r["total_size"])
+                 for r in ns_op_report(user.filter(F.col("size") >= 100)).collect()}
+    assert got_over == want_over and got_over
+    # --fullDocument raw over-threshold rows, exactly once across drains
+    over_rows = spark.read.option("basePath", tail.over_rows_dir).parquet(
+        tail.over_rows_dir + "/batch_id=*"
+    )
+    assert over_rows.count() == user.filter(F.col("size") >= 100).count()
+
+    # A5 cumulative id stats (with doc-size sentinel algebra) == batch
+    dim = spark.read.parquet(dim_dir)
+    src = FL.id_stats_threshold(user, 70).join(
+        F.broadcast(dim), on=["ns", "id"], how="left"
+    ).withColumn("doc_size", F.coalesce(F.col("doc_size"), F.lit(-1).cast("long")))
+    want_ids = {(r["ns"], r["id"]): tuple(r)[2:] for r in id_stats(
+        src, doc_size_col="doc_size").collect()}
+    got_ids = {(r["ns"], r["id"]): tuple(r)[2:] for r in tail.id_stats_report().collect()}
+    assert got_ids == want_ids and got_ids
+    # sentinel branch non-vacuous: some ids have doc_size_count < count
+    assert any(r[-1] < r[0] for r in got_ids.values())
+    assert any(r[-1] > 0 for r in got_ids.values())
+    # A6 top-k over the merged stats matches batch top-k
+    got_top = [tuple(r) for r in tail.top_ids(5).collect()]
+    want_top = [tuple(r) for r in top_k_ids(id_stats(src, doc_size_col="doc_size"), k=5).collect()]
+    assert got_top == want_top
+
+    # dump sink rows (cumulative, exactly-once) == the filtered stream
+    key = ["conv_id", "turn_idx", "ns", "op", "size"]
+    got_dump = sorted(map(tuple, tail.dumped_rows().select(*key).collect()))
+    want_dump = sorted(map(tuple, user.select(*key).collect()))
+    assert got_dump == want_dump
+
+
+def test_tail_shard_subset_and_dump_with_shard(spark, tmp_path):
+    """F8 + --dumpWithShard on the streaming path: only the requested
+    synthesized shards flow, and the dump is hive-partitioned by shard."""
+    input_dir = str(tmp_path / "in_sh")
+    T.generate_transcripts(spark, num_conversations=50, seed=31).coalesce(2).write.parquet(
+        input_dir
+    )
+    tail = TailStream(
+        spark, input_dir, str(tmp_path / "wd_sh"),
+        shard_index=[0, 2], n_shards=4, dump=True, dump_with_shard=True,
+    )
+    tail.run_available()
+
+    parsed = parse_transcripts(spark.read.parquet(input_dir), with_diff_stats=False)
+    want_user = exclude_system_namespaces(
+        parsed.withColumn(
+            "shard", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+        ).filter(F.col("shard").isin([0, 2]))
+    )
+    dumped = tail.dumped_rows()
+    assert set(r["shard"] for r in dumped.select("shard").distinct().collect()) <= {0, 2}
+    key = ["conv_id", "turn_idx", "shard", "size"]
+    assert sorted(map(tuple, dumped.select(*key).collect())) == sorted(
+        map(tuple, want_user.select(*key).collect())
+    )
+    # accumulator restricted to the shard subset too
+    got_n = sum(r["count"] for r in tail.report().collect())
+    assert got_n == want_user.count() > 0
+
+
+def test_tail_meta_mismatch_raises(spark, tmp_path):
+    """ADVICE r04: resuming a work_dir under a different accumulator-defining
+    configuration must raise at init, not silently merge mismatched
+    partials."""
+    wd = str(tmp_path / "wd_meta")
+    TailStream(spark, str(tmp_path / "in"), wd, buckets=(90,))
+    # identical config resumes fine
+    TailStream(spark, str(tmp_path / "in"), wd, buckets=(90,))
+    with pytest.raises(ValueError, match="different tail configuration"):
+        TailStream(spark, str(tmp_path / "in"), wd, buckets=(90, 120))
+    with pytest.raises(ValueError, match="different tail configuration"):
+        TailStream(spark, str(tmp_path / "in"), wd, buckets=(90,), id_stats=True)
