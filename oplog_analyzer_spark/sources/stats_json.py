@@ -22,7 +22,7 @@ def write_stats_json(report: DataFrame, out_dir: str) -> None:
 
 
 def reference_stats_json(
-    per_shard_report: DataFrame,
+    per_shard_report: DataFrame | list,
     total_processed: int,
     total_sampled: int,
     sampling_period: str,
@@ -38,15 +38,21 @@ def reference_stats_json(
     (EntryAccumulator.getAvg, java:82).
 
     Expects an A8-shaped per-shard aggregate (shard, ns, op, count,
-    total_size, min_size, max_size) — aggregate-sized, so the collect is
-    bounded.  ``processed_ops`` overrides the per-shard processed counts
+    total_size, min_size, max_size) — a DataFrame (aggregate-sized, so the
+    collect is bounded) or the already-collected list of its Rows (so a
+    caller deriving totals from the same rows doesn't trigger a second
+    action).  ``processed_ops`` overrides the per-shard processed counts
     (the reference counts every entry seen, sampled or not); defaults to
     the sum of sampled counts.  Total-desc ties are broken by (ns, op) —
     the reference inherits HashMap iteration order there, which is
     unspecified; ours is pinned for reproducibility (documented
     divergence on ties only).
     """
-    rows = per_shard_report.collect()
+    rows = (
+        per_shard_report
+        if isinstance(per_shard_report, list)
+        else per_shard_report.collect()
+    )
     by_shard: dict[str, list] = {}
     for r in rows:
         by_shard.setdefault(str(r["shard"]), []).append(r)

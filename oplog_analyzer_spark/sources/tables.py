@@ -60,13 +60,17 @@ def time_range_scan(
     return df
 
 
-def latest_offset(df: DataFrame, ts_col: str) -> DataFrame:
+def latest_offset(df: DataFrame, ts_col: str, as_agg: bool = False):
     """S4 — latest-offset probe (TailCommand.java:1476-1482).
 
     The reference sorts by $natural desc limit 1 projecting only ts; the
     aggregate form lets Spark do a partial max per partition — no sort.
-    """
-    return df.agg(F.max(ts_col).alias("latest_ts"))
+    ``as_agg=True`` returns the aggregate COLUMN so the probe can ride an
+    existing groupBy (e.g. a latest-offset per scanned namespace)."""
+    col = F.max(ts_col).alias("latest_ts")
+    if as_agg:
+        return col
+    return df.agg(col)
 
 
 def bucket_table(

@@ -641,6 +641,44 @@ def test_pack_sequences_oversize_doc_gets_own_sequence(spark):
     assert big["seq_idx"] not in others  # oversize doc shares with nobody
 
 
+def test_pack_sequences_md5_mode_same_logic(spark):
+    """hash_fn='md5' changes ONLY the bucket/order key, not the greedy
+    logic: a Python reference greedy walking md5-hash order reproduces
+    every (bucket, seq_idx) slot — the same parity the driver row
+    packing_md5_greedy certifies via a recursive-CTE SQL oracle."""
+    from oplog_analyzer_spark.functions import packing as P
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 53 + 7, F.lit(140)) + 10).cast("int").alias("n_tokens"),
+    )
+    packed = P.pack_sequences(
+        df, max_tokens=120, n_buckets=4, seed=5, hash_fn="md5"
+    ).collect()
+    assert len(packed) == 300
+    import collections
+    import hashlib
+
+    def h(d):
+        return int(hashlib.md5(f"5:{d}".encode()).hexdigest()[:8], 16)
+
+    by_bucket = collections.defaultdict(list)
+    for r in packed:
+        assert r["bucket"] == h(r["doc_id"]) % 4
+        by_bucket[r["bucket"]].append(r["doc_id"])
+    toks = {r["doc_id"]: r["n_tokens"] for r in df.collect()}
+    got = {r["doc_id"]: r["seq_idx"] for r in packed}
+    for b, ids in by_bucket.items():
+        ids.sort(key=lambda d: (h(d), d))
+        cur, fill = 0, 0
+        for d in ids:
+            t = toks[d]
+            if fill > 0 and fill + t > 120:
+                cur, fill = cur + 1, 0
+            assert got[d] == cur, (b, d)
+            fill += t
+
+
 def test_shuffle_deterministic_orders(spark):
     from oplog_analyzer_spark.functions import packing as P
 
