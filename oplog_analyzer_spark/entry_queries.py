@@ -624,68 +624,133 @@ def w3_first_n_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TPC-H-style headline queries (bench anchors)
+# md5-mode hash-certified dedup rows (VERDICT r04 follow-through: the
+# sampling/packing md5 pattern extended to the minhash/simhash families,
+# whose xxhash64 production forms have no DuckDB twin).  These took the two
+# window slots the TPC-H bench anchors held — the anchors certify no
+# SURVEY §2 operator (a1/j1 cover their shapes) and are parked past the
+# driver window with their oracles intact (see the tail section).
 
-@_q(
-    "tpch_q1",
-    """
-SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-""",
-)
-def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
+
+def _minhash_md5_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_fn='md5'), generated so the
+    per-seed min list and band-slice concat can't drift from the Spark
+    parameters."""
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(CAST(('0x' || substr(md5('{i}:' || s), 1, 8)) AS BIGINT)) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT id, n_sh, {b} AS band, md5({expr}) AS bucket FROM mins".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
             ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
         )
+        for b in range(bands)
     )
-
-
-@_q(
-    "tpch_q3ish",
-    """
-SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       o.o_orderdate
-FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-GROUP BY o.o_orderkey, o.o_orderdate
-ORDER BY revenue DESC, o_orderkey LIMIT 10
-""",
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), shing AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+), ex AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM shing
+), mins AS (
+  SELECT id, min(n_sh) AS n_sh,
+         {mins}
+  FROM ex GROUP BY id
+), banded AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+), pairs AS (
+  SELECT c.id_a, c.id_b, c.n_a, c.n_b, count(*) AS inter
+  FROM cand c
+  JOIN ex ea ON ea.id = c.id_a
+  JOIN ex eb ON eb.id = c.id_b AND eb.s = ea.s
+  GROUP BY 1, 2, 3, 4
 )
-def tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    joined = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       CAST(n_a + n_b - inter AS BIGINT) AS uni
+FROM pairs WHERE inter >= (n_a + n_b - inter) * {threshold}
+"""
+
+
+@_q("dedup_minhash_md5", _minhash_md5_oracle(num_hashes=16, bands=4, threshold=0.5))
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL minhash pipeline — shingle → per-seed min → band slice →
+    bucket self-join → exact-jaccard verify — hash-certified row by row in
+    hash_fn="md5" mode (the sampling/packing md5 pattern, VERDICT r04
+    next-round #2 extended to dedup).  Certifies the banding and
+    candidate-generation LOGIC the xxhash64 production path shares
+    verbatim (only the hash family differs; equivalence invariants in
+    tests/test_functions.py).  Reference parity: the same
+    shingle→signature→band pipeline the SURVEY §2 dedup family specifies.
+    """
+    from .functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16, bands=4, threshold=0.5, hash_fn="md5",
     )
-    return (
-        joined.groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-        .select("o_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.desc("revenue"), "o_orderkey")
-        .limit(10)
+
+
+def _simhash_md5_oracle() -> str:
+    """DuckDB twin of simhash_halves: 64 per-bit majority votes over
+    md5-derived token bits, fingerprint halves reassembled with plain
+    integer arithmetic (no 64-bit shift — DuckDB raises on signed shift
+    overflow, the reason the fingerprint travels as two 32-bit halves)."""
+    bits = ",\n    ".join(
+        f"sum(CASE WHEN ({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
     )
+    lo_sum = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    hi_sum = " + ".join(
+        f"(CASE WHEN b{i + 32} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+), h AS (
+  SELECT id,
+         CAST(('0x' || substr(md5('sh:' || t), 1, 8)) AS BIGINT) AS lo,
+         CAST(('0x' || substr(md5('sh:' || t), 9, 8)) AS BIGINT) AS hi
+  FROM tok
+), v AS (
+  SELECT id,
+    {bits}
+  FROM h GROUP BY id
+)
+SELECT id, CAST({lo_sum} AS BIGINT) AS sim_lo,
+       CAST({hi_sum} AS BIGINT) AS sim_hi
+FROM v
+"""
+
+
+@_q("simhash_md5", _simhash_md5_oracle())
+def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash fingerprints hash-certified row by row: every
+    one of the 64 majority-vote bits is reproduced by the oracle from
+    first principles (token explode → md5 bit → ±1 vote → sign →
+    reassembly).  The fingerprint is the hard part of the simhash family —
+    the pigeonhole pair step on top of it is pure integer blocking +
+    popcount, pytest-verified in tests/test_functions.py; a pair-level
+    driver row would be vacuous here (500 random docs ⇒ expected 0 pairs
+    within hamming 3)."""
+    from .functions.dedup import simhash_halves
+
+    return simhash_halves(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1733,6 +1798,74 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_tokens"), max_tokens=256, n_buckets=16
     )
     return sequence_stats(packed).orderBy("bucket", "seq_idx")
+
+
+# --- parked oracled anchors: the TPC-H-style bench queries certify no
+#     SURVEY §2 operator (a1/j1 cover their shapes), so their window slots
+#     went to the md5-certified dedup rows; they stay registered (bench.py
+#     and the sf0.001 smoke run them) with oracles intact for
+#     tools/check_oracles.py, PAST the driver's 50-query window. ----------
+
+@_q(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3ish",
+    """
+SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+)
+def tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

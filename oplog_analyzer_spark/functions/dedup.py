@@ -12,10 +12,20 @@ Five strategies, all shuffle-aware:
                    4×16-bit chunks for candidate generation
   embedding_cosine near-duplicate pairs by cosine over an embedding column
 
-All hashing is xxhash64 (JVM-side, seedable by prepending a literal), so
-signatures are deterministic and computed without any Python in the path.
-At 100 TB every stage is a narrow map except the explicit shuffles noted
-per function.
+All hashing defaults to xxhash64 (JVM-side, seedable by prepending a
+literal), so signatures are deterministic and computed without any Python
+in the path.  At 100 TB every stage is a narrow map except the explicit
+shuffles noted per function.
+
+minhash_lsh_pairs and simhash_halves also take ``hash_fn="md5"`` — the
+same pipeline over the first-8-hex-digits-of-md5 hash family
+(``functions/sampling.py::_hash_bucket`` convention), which ANSI-SQL
+engines reproduce exactly (DuckDB twin: ``CAST(('0x' ||
+substr(md5(seed || ':' || s), 1, 8)) AS BIGINT)``) so the banding /
+bucket-join / verify LOGIC is driver-oracle-able row by row.  xxhash64
+stays the production fast path; the two modes differ only in the hash
+family, never in the plan shape (equivalence-tested in
+tests/test_functions.py).
 """
 
 from __future__ import annotations
@@ -26,6 +36,20 @@ from pyspark.sql import functions as F
 
 def _normalized(text_col: str) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def _seeded_hash(seed: int | str, col: F.Column, hash_fn: str) -> F.Column:
+    """Seeded 64-bit-domain hash of a string column.  ``xxhash64`` is the
+    production form (full signed-64 range); ``md5`` is the SQL-reproducible
+    form — first 8 hex digits of md5("<seed>:<value>") parsed base-16
+    (32-bit non-negative), matching ``sampling.md5_bucket_sql``."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(seed), col)
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), col)), 1, 8), 16, 10
+        ).cast("long")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -120,15 +144,26 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(i, shingle).  Pure column expressions — the min-per-seed runs
+    hash(i, shingle).  Pure column expressions — the min-per-seed runs
     inside one projection over the shingle array (no explode, no shuffle).
+
+    The seed must be bound through a one-parameter closure: ``F.transform``
+    passes the ARRAY INDEX as the second argument to any two-parameter
+    lambda, so the once-used ``lambda s, i=i:`` form silently replaced
+    every seed with the element-index column and collapsed the signature
+    to num_hashes copies of one min.
     """
+
+    def _hash_with_seed(seed: int):
+        return lambda s: _seeded_hash(seed, s, hash_fn)
+
     sh = shingles(text_col, shingle_n)
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.array_min(F.transform(sh, _hash_with_seed(i)))
             for i in range(num_hashes)
         ]
     )
@@ -144,6 +179,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_bucket: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs: band the signature, bucket-join on
     (band_idx, band_hash), verify candidates with exact jaccard over the
@@ -171,19 +207,28 @@ def minhash_lsh_pairs(
     >max_bucket bucket is bounded, not exact — run ``exact_dedup`` first
     to collapse byte-identical clones if exact clone handling is
     required.  Default None = exact (the pytest-oracled form).
+
+    ``hash_fn="md5"`` switches every hash (shingle mins, band buckets, the
+    cap order) to the SQL-reproducible md5 family: band buckets become the
+    md5 hex of the comma-joined band slice, which DuckDB reproduces as
+    ``md5(CAST(m0 AS VARCHAR) || ',' || ...)`` — the driver-oracled mode.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
+
+    def band_bucket(b: int) -> F.Column:
+        slice_cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in slice_cols]))
+        return F.xxhash64(*slice_cols)
+
     banded = sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -193,7 +238,9 @@ def minhash_lsh_pairs(
     if max_bucket is not None:
         # band-dependent order: different bands keep different members
         cap_w = Window.partitionBy("band", "bucket").orderBy(
-            F.xxhash64(F.lit(0), "band", "id")
+            _seeded_hash(0, F.concat_ws(":", "band", "id"), hash_fn)
+            if hash_fn == "md5"
+            else F.xxhash64(F.lit(0), "band", "id")
         )
         banded = (
             banded.withColumn("__r", F.row_number().over(cap_w))
@@ -248,6 +295,61 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseOR(term)
     return votes.select("id", fp.alias("simhash"))
+
+
+def simhash_halves(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash in the SQL-reproducible md5 hash family, carried as TWO
+    32-bit halves ``(sim_lo, sim_hi)`` instead of one signed 64-bit word.
+
+    Same per-bit majority vote as :func:`simhash`; the per-token 64 bits
+    come from md5("sh:<token>") — hex digits 1–8 (``lo``, bits 0–31) and
+    9–16 (``hi``, bits 32–63) parsed base-16.  Both halves are
+    non-negative and < 2^32, so an ANSI-SQL oracle reassembles the
+    fingerprint with plain ``sum(CASE ...) * 2^i`` arithmetic — no 64-bit
+    left shift, which DuckDB rejects on signed overflow (the reason the
+    xxhash64 :func:`simhash` form has no SQL twin).  Hamming distance over
+    the halves is ``bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a,
+    hi_b))`` — identical to popcount on the assembled 64-bit word.
+
+    One shuffle (the group-by on id) with map-side partial aggregation,
+    exactly like :func:`simhash`.
+    """
+    lo_hex = F.substring(F.md5(F.concat_ws(":", F.lit("sh"), F.col("t"))), 1, 8)
+    hi_hex = F.substring(F.md5(F.concat_ws(":", F.lit("sh"), F.col("t"))), 9, 8)
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
+    ).select(
+        "id",
+        F.conv(lo_hex, 16, 10).cast("long").alias("lo"),
+        F.conv(hi_hex, 16, 10).cast("long").alias("hi"),
+    )
+
+    def bit(i: int) -> F.Column:
+        src, off = ("lo", i) if i < 32 else ("hi", i - 32)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+
+    def assemble(lo_half: bool) -> F.Column:
+        base = 0 if lo_half else 32
+        out = F.lit(0).cast("long")
+        for i in range(32):
+            out = out + F.when(F.col(f"b{base + i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    return votes.select(
+        "id", assemble(True).alias("sim_lo"), assemble(False).alias("sim_hi")
+    )
 
 
 def simhash_pairs(

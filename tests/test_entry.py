@@ -23,18 +23,27 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) >= 20
 
 
+# TPC-H bench anchors: oracled but deliberately registered PAST the driver
+# window (r5) — they certify no SURVEY §2 operator, and their slots went to
+# the md5-certified dedup rows.  Anything else oracled past the window is a
+# registration slip.
+PARKED_ORACLED = {"tpch_q1", "tpch_q3ish"}
+
+
 def test_driver_window_fully_oracled():
     """The driver harness runs exactly the FIRST 50 registered queries in
     registration order; a registration slip (an oracled row pushed past
     the cap, or a rows-only entry drifting inside it) silently downgrades
-    the correctness gate.  Pin the window: first 50 all oracled, the
-    oracle-hostile rows-only entries strictly after."""
+    the correctness gate.  Pin the window: first 50 all oracled, and past
+    the window only the oracle-hostile rows-only entries plus the
+    explicitly parked bench anchors."""
     qs, os_ = E.queries(), E.oracle_sql()
     names = list(qs)
     in_window = names[:50]
     assert all(n in os_ for n in in_window), [n for n in in_window if n not in os_]
-    assert len(os_) == 50  # every oracled row is inside the window
-    assert all(n not in os_ for n in names[50:])
+    assert len(os_) == 50 + len(PARKED_ORACLED)
+    past = [n for n in names[50:] if n in os_]
+    assert set(past) == PARKED_ORACLED, past
 
 
 def test_all_queries_run_small(spark):

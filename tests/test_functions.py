@@ -139,6 +139,111 @@ def test_simhash_near_dup(spark):
     assert not any(3 in p for p in pairs)
 
 
+# --- md5 hash mode (the driver-oracled family): same pipeline, SQL-
+#     reproducible hash — the two modes must agree on every property that
+#     does not depend on the hash family itself -----------------------------
+
+
+def test_minhash_md5_mode_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.5, hash_fn="md5"
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_md5_verify_matches_exact_jaccard(docs):
+    """Candidate pruning differs by hash family; the VERIFIED inter/uni
+    values must equal exact shingle-set jaccard in both modes."""
+    exact = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    for hash_fn in ("xxhash64", "md5"):
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+            for r in D.minhash_lsh_pairs(
+                docs, num_hashes=16, bands=4, threshold=0.1, hash_fn=hash_fn
+            ).collect()
+        }
+        for k, v in got.items():
+            assert exact[k] == v, (hash_fn, k)
+
+
+def test_minhash_md5_duckdb_twin(docs):
+    """The generated oracle SQL reproduces the md5-mode pipeline exactly on
+    an in-memory corpus — locks the Spark/DuckDB twin before the driver
+    runs it at sf0.01."""
+    from oplog_analyzer_spark.entry_queries import _minhash_md5_oracle
+
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            _minhash_md5_oracle(num_hashes=16, bands=4, threshold=0.5)
+        ).fetchall()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in D.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.5, hash_fn="md5"
+        ).collect()
+    }
+    assert got == oracle and got  # non-vacuous
+
+
+def test_simhash_halves_duckdb_twin(docs):
+    from oplog_analyzer_spark.entry_queries import _simhash_md5_oracle
+
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {r[0]: (r[1], r[2]) for r in con.execute(_simhash_md5_oracle()).fetchall()}
+    got = {
+        r["id"]: (r["sim_lo"], r["sim_hi"])
+        for r in D.simhash_halves(docs).collect()
+    }
+    assert got == oracle
+    for lo, hi in got.values():  # both halves 32-bit non-negative
+        assert 0 <= lo < 2**32 and 0 <= hi < 2**32
+
+
+def test_simhash_halves_near_dup_property(spark):
+    """Same majority-vote behavior as the xxhash64 simhash: identical text
+    → identical halves; one-word change → tiny hamming; unrelated → far."""
+    base = " ".join(
+        [
+            "the quick brown fox jumps over the lazy dog near the old river bank",
+            "and the wind moves slowly across the quiet green valley floor",
+            "while distant birds call from tall pine trees beyond the ridge",
+            "as evening light settles gently over the small sleeping town",
+        ]
+    )
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, "completely different text about spark shuffle partitions and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["id"]: (r["sim_lo"], r["sim_hi"]) for r in D.simhash_halves(df).collect()}
+
+    def hamming(a, b):
+        return bin(fp[a][0] ^ fp[b][0]).count("1") + bin(fp[a][1] ^ fp[b][1]).count("1")
+
+    assert hamming(0, 1) == 0
+    # one token changed out of ~50: a handful of the 64 majority votes flip
+    # (measured 5 in the md5 family); unrelated text lands near 32.
+    assert hamming(0, 2) <= 8
+    assert hamming(0, 3) > 16
+
+
 def test_embedding_neardup(spark):
     rng = np.random.default_rng(7)
     v = rng.standard_normal(16)

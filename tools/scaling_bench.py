@@ -264,7 +264,31 @@ def main() -> None:
         except (OSError, json.JSONDecodeError):
             summary = {}
     runs = summary.get("runs") or {}
-    runs[f"{mode}_{lo}_{hi}"] = run
+    key = f"{mode}_{lo}_{hi}"
+    # Re-measuring a step ARCHIVES the prior measurement (dated) instead of
+    # clobbering it — repeated quiet-window re-attempts of an out-of-regime
+    # step must keep their full dated history (the ≥3-attempts evidence
+    # trail), including any regime_note the prior attempt carried.
+    prev = runs.get(key)
+    if prev is not None:
+        hist = prev.pop("attempts", [])
+        hist.append(
+            {
+                k: prev[k]
+                for k in (
+                    "measured_at",
+                    "turns",
+                    "levels",
+                    "speedup",
+                    "scaling_efficiency",
+                    "pass",
+                    "regime_note",
+                )
+                if k in prev
+            }
+        )
+        run["attempts"] = hist
+    runs[key] = run
     # Evidence = the passing 4x steps; out-of-regime runs (see
     # substrate_note) are RETAINED with pass:false for transparency.
     evidence = sorted(k for k, r in runs.items() if r["pass"])
