@@ -859,97 +859,68 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "mm_decoded_meta",
     """
-SELECT doc_id AS asset_id,
-       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-       CAST(strlen(text) AS BIGINT) AS byte_len,
-       CAST((strlen(text) * 7) % 640 + 16 AS INT) AS width,
-       CAST(strlen(text) % 480 + 16 AS INT) AS height,
-       CAST(CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 24 + 1
-                 WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS INT) AS n_frames
-FROM documents
+WITH meta AS (
+  SELECT doc_id AS asset_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         CAST(strlen(text) AS BIGINT) AS byte_len,
+         CAST((strlen(text) * 7) % 640 + 16 AS INT) AS width,
+         CAST(strlen(text) % 480 + 16 AS INT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 24 + 1
+                   WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS INT) AS n_frames
+  FROM documents
+), fr AS (
+  SELECT asset_id, CAST(unnest(range(0, n_frames, 6)) AS INT) AS frame_idx
+  FROM meta WHERE kind = 'video' AND n_frames > 0
+), fa AS (
+  SELECT asset_id, count(*) AS n_sampled,
+         CAST(sum(frame_idx) AS BIGINT) AS frame_idx_sum,
+         max(frame_idx) AS frame_idx_max
+  FROM fr GROUP BY asset_id
+)
+SELECT m.asset_id, m.kind, m.byte_len, m.width, m.height, m.n_frames,
+       coalesce(fa.n_sampled, 0) AS n_sampled,
+       coalesce(fa.frame_idx_sum, -1) AS frame_idx_sum,
+       coalesce(fa.frame_idx_max, -1) AS frame_idx_max
+FROM meta m LEFT JOIN fa ON m.asset_id = fa.asset_id
 """,
 )
 def mm_decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing (mapInPandas over binary payloads); the
-    deterministic stub makes the Arrow batch path SQL-checkable.  Kind
-    cycle (functions/multimodal.py): doc_id%3 → 0 image, 1 audio, 2 video;
-    the oracle mirrors it."""
-    from .functions.multimodal import build_assets, decode_assets
-
-    docs = load_table(spark, sf_dir, "documents")
-    return decode_assets(build_assets(docs)).select(
-        "asset_id", "kind", "byte_len", "width", "height", "n_frames"
-    )
-
-
-@_q(
-    "mm_frame_sample",
-    """
-SELECT asset_id, CAST(unnest(range(0, n_frames, 6)) AS INT) AS frame_idx
-FROM (
-  SELECT doc_id AS asset_id, strlen(text) % 24 + 1 AS n_frames
-  FROM documents WHERE doc_id % 3 = 2
-)
-""",
-)
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (mapInPandas over binary payloads) PLUS
+    the frame-sampling plan, in one row (r5 fold of the former
+    mm_frame_sample row — its window slot went to the streaming-tail
+    certification).  Kind cycle (functions/multimodal.py): doc_id%3 → 0
+    image, 1 audio, 2 video; frame_sample(every_n=6) yields the arithmetic
+    sequence 0,6,...<n_frames, so (count, sum, max) per asset pins every
+    sampled index; non-video assets carry the (0, -1, -1) no-frames
+    sentinel triple.  The oracle mirrors both stages."""
     from .functions.multimodal import build_assets, decode_assets, frame_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    return frame_sample(decode_assets(build_assets(docs)), every_n=6)
+    decoded = decode_assets(build_assets(docs))
+    fa = frame_sample(decoded, every_n=6).groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("frame_idx").alias("frame_idx_sum"),
+        F.max("frame_idx").alias("frame_idx_max"),
+    )
+    return (
+        decoded.select("asset_id", "kind", "byte_len", "width", "height", "n_frames")
+        .join(fa, "asset_id", "left")
+        .select(
+            "asset_id", "kind", "byte_len", "width", "height", "n_frames",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("frame_idx_sum", F.lit(-1)).alias("frame_idx_sum"),
+            F.coalesce("frame_idx_max", F.lit(-1)).alias("frame_idx_max"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
 # P2/P5/P8, F6/F7/F8, J2, W4, O6, A17 — driver-oracled coverage for the
 # operators round 1 left pytest-only (VERDICT r01 "What's missing" #1)
 
-@_q(
-    "p2_normalize_ids",
-    """
-WITH r AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 4 = 0 THEN md5(text)
-              WHEN doc_id % 4 = 1 THEN upper(md5(text))
-              WHEN doc_id % 4 = 2 THEN md5(text) || md5('x' || text)
-              ELSE 'u' || CAST(doc_id AS VARCHAR) END AS raw_id
-  FROM documents
-)
-SELECT doc_id, raw_id,
-       CASE WHEN regexp_full_match(raw_id, '[0-9a-fA-F]{16,}')
-                 AND strlen(raw_id) = 32
-            THEN substr(lower(raw_id), 1, 8) || '-' || substr(lower(raw_id), 9, 4)
-                 || '-' || substr(lower(raw_id), 13, 4) || '-'
-                 || substr(lower(raw_id), 17, 4) || '-' || substr(lower(raw_id), 21, 12)
-            WHEN regexp_full_match(raw_id, '[0-9a-fA-F]{16,}')
-                 AND strlen(raw_id) > 32 AND strlen(raw_id) % 2 = 0
-            THEN substr(lower(raw_id), 1, 16) || '...(' || (strlen(raw_id) // 2) || ' bytes)'
-            ELSE raw_id END AS norm_id
-FROM r
-""",
-)
-def p2_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 — id normalization dispatch (BaseOplogCommand.java:170-226): four
-    id shapes built from documents (32-hex lower/UPPER → UUID form, 64-hex
-    → truncated display, plain string → pass-through); the oracle re-states
-    the normalization spec in pure string SQL."""
-    from .operators.parse import normalize_id
-
-    d = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    raw = (
-        F.when(did % 4 == 0, F.md5("text"))
-        .when(did % 4 == 1, F.upper(F.md5("text")))
-        .when(did % 4 == 2, F.concat(F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text")))))
-        .otherwise(F.concat(F.lit("u"), did.cast("string")))
-    )
-    return d.select("doc_id", raw.alias("raw_id")).withColumn(
-        "norm_id", normalize_id(F.col("raw_id"))
-    )
-
-
-# DuckDB fragments for the p2b oracle: the UUID-legacy byte shuffle reverses
-# each 8-byte half independently; in hex-string terms that is the byte pairs
-# at 1-indexed positions 15,13,...,1 then 31,29,...,17.
+# DuckDB fragments for the p2 binary branch: the UUID-legacy byte shuffle
+# reverses each 8-byte half independently; in hex-string terms that is the
+# byte pairs at 1-indexed positions 15,13,...,1 then 31,29,...,17.
 _HEX_HALF1_REV = "||".join(f"substr(h,{p},2)" for p in range(15, 0, -2))
 _HEX_HALF2_REV = "||".join(f"substr(h,{p},2)" for p in range(31, 16, -2))
 
@@ -962,38 +933,67 @@ def _uuid_fmt_sql(x: str) -> str:
 
 
 @_q(
-    "p2_binary_ids",
+    "p2_normalize_ids",
     f"""
 WITH r AS (
-  SELECT doc_id, doc_id % 5 AS c, md5(text) AS h,
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN md5(text)
+              WHEN doc_id % 4 = 1 THEN upper(md5(text))
+              WHEN doc_id % 4 = 2 THEN md5(text) || md5('x' || text)
+              ELSE 'u' || CAST(doc_id AS VARCHAR) END AS raw_id,
+         doc_id % 5 AS c, md5(text) AS h,
          md5(text) || md5('x' || text) AS h2
   FROM documents
 ), s AS (
   SELECT *, {_HEX_HALF1_REV} || {_HEX_HALF2_REV} AS shuffled FROM r
 )
-SELECT doc_id,
+SELECT doc_id, raw_id,
+       CASE WHEN regexp_full_match(raw_id, '[0-9a-fA-F]{{16,}}')
+                 AND strlen(raw_id) = 32
+            THEN substr(lower(raw_id), 1, 8) || '-' || substr(lower(raw_id), 9, 4)
+                 || '-' || substr(lower(raw_id), 13, 4) || '-'
+                 || substr(lower(raw_id), 17, 4) || '-' || substr(lower(raw_id), 21, 12)
+            WHEN regexp_full_match(raw_id, '[0-9a-fA-F]{{16,}}')
+                 AND strlen(raw_id) > 32 AND strlen(raw_id) % 2 = 0
+            THEN substr(lower(raw_id), 1, 16) || '...(' || (strlen(raw_id) // 2) || ' bytes)'
+            ELSE raw_id END AS norm_id,
        CASE WHEN c = 4 THEN 'null'
             WHEN c = 3 THEN substr(h2, 1, 16) || '...(32 bytes)'
             WHEN c = 2 THEN h
             WHEN c = 1 THEN {_uuid_fmt_sql('shuffled')}
-            ELSE {_uuid_fmt_sql('h')} END AS id_str
+            ELSE {_uuid_fmt_sql('h')} END AS bin_id_str
 FROM s
 """,
 )
-def p2_binary_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 (binary variant) — getIdString over TRUE binary ids with their
-    BSON subtype (BaseOplogCommand.java:170-226, VERDICT r03 "Next round"
-    #4): md5-derived byte payloads planted per doc_id%5 exercise every
-    dispatch branch — subtype 4 UUID-standard (bytes in order), subtype 3
-    UUID-legacy (each 8-byte half reversed, the Java-driver legacy
-    encoding, BaseOplogCommand.java:188-198), generic binary ≤16 bytes
-    (full hex), >16 bytes (8-byte hex prefix + byte count, java:199-206),
-    and null → "null" (java:171-173).  The oracle restates the byte
-    shuffle in pure hex-string SQL."""
-    from .operators.parse import binary_id_string
+def p2_normalize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — the COMPLETE id-to-string dispatch (BaseOplogCommand.java:
+    170-226), both entry forms in one row (r5 fold of the former
+    p2_binary_ids row — its window slot went to the streaming-tail
+    certification):
+
+    * string form (``norm_id``, getIdString display parity over text ids):
+      four id shapes per doc_id%4 — 32-hex lower/UPPER → UUID form, 64-hex
+      → truncated display, plain string → pass-through;
+    * binary form (``bin_id_str``, TRUE byte payloads + BSON subtype per
+      doc_id%5, VERDICT r03 #4): subtype 4 UUID-standard (bytes in order),
+      subtype 3 UUID-legacy (each 8-byte half reversed, the Java-driver
+      legacy encoding, java:188-198), generic binary ≤16 bytes (full hex),
+      >16 bytes (8-byte hex prefix + byte count, java:199-206), and null →
+      "null" (java:171-173).
+
+    The oracle restates the normalization spec and the byte shuffle in
+    pure string/hex SQL."""
+    from .operators.parse import binary_id_string, normalize_id
 
     d = load_table(spark, sf_dir, "documents")
-    case = F.col("doc_id") % 5
+    did = F.col("doc_id")
+    raw = (
+        F.when(did % 4 == 0, F.md5("text"))
+        .when(did % 4 == 1, F.upper(F.md5("text")))
+        .when(did % 4 == 2, F.concat(F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text")))))
+        .otherwise(F.concat(F.lit("u"), did.cast("string")))
+    )
+    case = did % 5
     h = F.md5("text")
     h2 = F.concat(F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text"))))
     data = (
@@ -1005,8 +1005,10 @@ def p2_binary_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(case == 0, F.lit(4)).when(case == 1, F.lit(3)).otherwise(F.lit(0))
     ).cast("int")
     return d.select(
-        "doc_id", binary_id_string(data, subtype).alias("id_str")
-    )
+        "doc_id",
+        raw.alias("raw_id"),
+        binary_id_string(data, subtype).alias("bin_id_str"),
+    ).withColumn("norm_id", normalize_id(F.col("raw_id")))
 
 
 @_q(
@@ -1607,6 +1609,163 @@ def conversation_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     inp = spark.read.parquet(_materialized_corpus(spark, "reassembly_v1"))
     out = reassemble_conversations(inp, bucket_span=64)
     return out.select("conv_id", F.md5("full_text").alias("text_md5"), "n_turns")
+
+
+# --- streaming-tail certification rows (r5): the reference FLAGSHIP path
+#     (tail → filter battery → cumulative accumulator / id stats,
+#     TailCommand.java:534-773) driven END-TO-END through Structured
+#     Streaming — two availableNow drains over a growing input dir, the
+#     second resuming from the first's checkpoint (T1/T2/T6/T8) — and
+#     certified against a plain batch-SQL oracle over the SAME corpus:
+#     incremental ≡ batch, hashed row by row by the driver.  The run
+#     executes once per process tree and publishes its reports atomically
+#     (the _materialized_corpus pattern); both rows read the published
+#     parquet. -------------------------------------------------------------
+
+_TAIL_RUN_ROOT = "/tmp/oplog_spark_tail_run"
+# bump when the corpus, the option battery, or the report layout changes
+_TAIL_VERSION = "v1"
+#: the option battery under certification (mirrors `run_tail --ops i,u,d
+#: --min-size 50 --threshold 100 --buckets 80,100 --id-stats
+#: --id-stats-threshold 60`); shard_index stays pytest-only — its
+#: xxhash64-synthesized shard space has no SQL twin.
+_TAIL_OPTS = dict(
+    buckets=(80, 100),
+    include_ops=["i", "u", "d"],
+    min_size=50,
+    threshold=100,
+    id_stats=True,
+    id_stats_threshold=60,
+)
+
+# the oracle's batch twin of parse→filter over the tail corpus: grok-parse
+# (ns/op/id/size), F3 op include-list, F4 min-size, F1 system-ns exclusion
+_TAIL_ORACLE_BASE = rf"""
+WITH parsed AS (
+  SELECT regexp_extract(text, 'ns=([a-zA-Z0-9_.$]+)', 1) AS ns,
+         regexp_extract(text, 'op:([iudcn])', 1) AS op,
+         regexp_extract(text, 'id=(\S+)', 1) AS id,
+         CAST(strlen(text) AS BIGINT) AS size, ts
+  FROM read_parquet('{_CORPUS_ROOT}/tail_v1/*.parquet')
+), f AS (
+  SELECT * FROM parsed
+  WHERE op IN ('i', 'u', 'd') AND size >= 50 AND ns NOT LIKE 'config.%'
+)
+"""
+
+
+def _tail_published(spark: SparkSession) -> str:
+    """Run the two-drain incremental tail ONCE and atomically publish its
+    cumulative reports; concurrent callers (the parallelized smoke test)
+    race on the rename and the losers read the winner's copy.
+
+    Drain 1 sees the first half of the corpus part files; the rest are
+    then copied into the input dir and a FRESH TailStream over the same
+    work_dir drains only the delta (checkpointed source offsets = T2/T8
+    resume).  maxFilesPerTrigger=8 splits each drain into micro-batches,
+    so the merge-safe partials algebra is exercised across many batches,
+    not one."""
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.tail import TailStream
+
+    out = os.path.join(_TAIL_RUN_ROOT, _TAIL_VERSION)
+    if os.path.exists(os.path.join(out, "_PUBLISHED")):
+        return out
+    corpus = _materialized_corpus(spark, "tail_v1")
+    work = os.path.join(
+        _TAIL_RUN_ROOT, f".tmp-{os.getpid()}-{uuid.uuid4().hex}"
+    )
+    input_dir = os.path.join(work, "input")
+    os.makedirs(input_dir, exist_ok=True)
+    parts = sorted(f for f in os.listdir(corpus) if f.endswith(".parquet"))
+    half = max(1, len(parts) // 2)
+
+    def tail() -> TailStream:
+        return TailStream(
+            spark, input_dir, os.path.join(work, "wd"), **_TAIL_OPTS
+        )
+
+    for wave in (parts[:half], parts[half:]):
+        for fname in wave:
+            shutil.copy2(os.path.join(corpus, fname), os.path.join(input_dir, fname))
+        tail().run_available()
+
+    t = tail()
+    null_long = F.lit(None).cast("long")
+    report = t.report().withColumn("section", F.lit("all")).unionByName(
+        t.over_threshold_report()
+        .withColumn("gt_80", null_long)
+        .withColumn("gt_100", null_long)
+        .withColumn("section", F.lit("over"))
+    )
+    report.write.mode("overwrite").parquet(os.path.join(work, "out", "report"))
+    t.id_stats_report().write.mode("overwrite").parquet(
+        os.path.join(work, "out", "id_stats")
+    )
+    open(os.path.join(work, "out", "_PUBLISHED"), "w").close()
+    os.makedirs(_TAIL_RUN_ROOT, exist_ok=True)
+    try:
+        os.rename(os.path.join(work, "out"), out)  # atomic publish
+    except OSError:
+        pass  # a concurrent winner published first — use theirs
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_q(
+    "tail_incremental_report",
+    _TAIL_ORACLE_BASE
+    + """
+SELECT 'all' AS section, ns, op, count(*) AS count,
+       CAST(sum(size) AS BIGINT) AS total_size,
+       min(size) AS min_size, max(size) AS max_size, max(ts) AS latest_ts,
+       CAST(sum(CASE WHEN size > 80 THEN 1 ELSE 0 END) AS BIGINT) AS gt_80,
+       CAST(sum(CASE WHEN size > 100 THEN 1 ELSE 0 END) AS BIGINT) AS gt_100,
+       CAST(floor(sum(size) / count(*)) AS BIGINT) AS avg_size
+FROM f GROUP BY ns, op
+UNION ALL
+SELECT 'over', ns, op, count(*), CAST(sum(size) AS BIGINT),
+       min(size), max(size), max(ts), NULL, NULL,
+       CAST(floor(sum(size) / count(*)) AS BIGINT)
+FROM f WHERE size >= 100 GROUP BY ns, op
+""",
+)
+def tail_incremental_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/T1–T8 + the streamed filter battery, driver-certified: the
+    cumulative ns::op accumulator (A1+A3 buckets, section='all') and the
+    F5 over-threshold side-output accumulator (section='over'), both
+    merged across the micro-batches of TWO checkpoint-resumed availableNow
+    drains, must equal the oracle's single batch pass over the whole
+    corpus (incremental ≡ batch — the same invariant test_streaming.py
+    pins, now hashed row-by-row by the driver)."""
+    import os
+
+    return spark.read.parquet(os.path.join(_tail_published(spark), "report"))
+
+
+@_q(
+    "tail_id_stats",
+    _TAIL_ORACLE_BASE
+    + """
+SELECT ns, id, count(*) AS count,
+       CAST(sum(size) AS BIGINT) AS total_oplog_size,
+       min(size) AS min_oplog_size, max(size) AS max_oplog_size
+FROM f WHERE size >= 60 GROUP BY ns, id
+""",
+)
+def tail_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--idStats in TAIL mode (A5/F6 across micro-batches,
+    IdStatisticsManager.java:38-90): the cumulative per-(ns,id) statistics
+    — per-batch partials merged with the accumulator algebra across both
+    drains — must equal one batch pass with the independent
+    --idStatsThreshold (size ≥ 60) applied on top of the main filter
+    battery (the reference's two-threshold system, README.md:412-431)."""
+    import os
+
+    return spark.read.parquet(os.path.join(_tail_published(spark), "id_stats"))
 
 
 # --- md5-certified sampling/packing rows (VERDICT r04 next-round #2/#4):
