@@ -447,13 +447,13 @@ def s2_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     here per scanned group) folded in as ``latest_ts``; the fold freed one
     driver-window slot for the md5-certified sampling row (VERDICT r04
     next-round #2)."""
-    from .sources.tables import latest_offset, time_range_scan
+    from .sources.tables import latest_offset_agg, time_range_scan
 
     ev = load_table(spark, sf_dir, "events")
     scanned = time_range_scan(ev, "ts", "2024-01-05 00:00:00", "2024-01-20 00:00:00")
     return scanned.groupBy(F.col("event_type").alias("ns")).agg(
         F.count(F.lit(1)).alias("count"),
-        latest_offset(scanned, "ts", as_agg=True),
+        latest_offset_agg("ts"),
     )
 
 

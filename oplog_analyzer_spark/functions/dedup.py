@@ -39,17 +39,13 @@ def _normalized(text_col: str) -> F.Column:
 
 
 def _seeded_hash(seed: int | str, col: F.Column, hash_fn: str) -> F.Column:
-    """Seeded 64-bit-domain hash of a string column.  ``xxhash64`` is the
-    production form (full signed-64 range); ``md5`` is the SQL-reproducible
-    form — first 8 hex digits of md5("<seed>:<value>") parsed base-16
-    (32-bit non-negative), matching ``sampling.md5_bucket_sql``."""
-    if hash_fn == "xxhash64":
-        return F.xxhash64(F.lit(seed), col)
-    if hash_fn == "md5":
-        return F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), col)), 1, 8), 16, 10
-        ).cast("long")
-    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    """Seeded 64-bit-domain hash of a string column — the shared
+    ``functions/hashing.py`` expression (``xxhash64`` = production form,
+    ``md5`` = the SQL-reproducible form matching
+    ``sampling.md5_bucket_sql``)."""
+    from .hashing import seeded_hash
+
+    return seeded_hash(seed, col, hash_fn)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

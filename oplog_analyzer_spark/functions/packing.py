@@ -82,18 +82,9 @@ def pack_sequences(
                 "check_explicit_buckets=False if sized against real memory)"
             )
 
-    if hash_fn == "xxhash64":
-        hcol = F.xxhash64(F.lit(seed), F.col(id_col))
-    elif hash_fn == "md5":
-        hcol = F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-    else:
-        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    from .hashing import seeded_hash
+
+    hcol = seeded_hash(seed, F.col(id_col), hash_fn)
 
     with_bucket = df.withColumn("__h", hcol).withColumn(
         "bucket", F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int")

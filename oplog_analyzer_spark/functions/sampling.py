@@ -40,18 +40,12 @@ _BUCKETS = 1_000_000
 
 
 def _hash_bucket(id_col: str, seed: int, hash_fn: str = "xxhash64") -> F.Column:
-    if hash_fn == "xxhash64":
-        return F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(_BUCKETS))
-    if hash_fn == "md5":
-        # first 8 hex digits of md5("<seed>:<id>") parsed base-16 —
-        # reproducible in ANSI-SQL engines (DuckDB twin:
-        # CAST(('0x' || substr(md5(seed || ':' || id), 1, 8)) AS BIGINT))
-        h8 = F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
-            1, 8,
-        )
-        return F.pmod(F.conv(h8, 16, 10).cast("long"), F.lit(_BUCKETS))
-    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    # NULL ids hash to NULL (functions/hashing.py contract): they take the
+    # fall-through split label and drop out of hash-threshold filters,
+    # exactly as the SQL twin behaves.
+    from .hashing import seeded_hash
+
+    return F.pmod(seeded_hash(seed, F.col(id_col), hash_fn), F.lit(_BUCKETS))
 
 
 def md5_bucket_sql(id_sql: str, seed: int = 42) -> str:

@@ -60,17 +60,22 @@ def time_range_scan(
     return df
 
 
-def latest_offset(df: DataFrame, ts_col: str, as_agg: bool = False):
+def latest_offset(df: DataFrame, ts_col: str) -> DataFrame:
     """S4 — latest-offset probe (TailCommand.java:1476-1482).
 
     The reference sorts by $natural desc limit 1 projecting only ts; the
     aggregate form lets Spark do a partial max per partition — no sort.
-    ``as_agg=True`` returns the aggregate COLUMN so the probe can ride an
-    existing groupBy (e.g. a latest-offset per scanned namespace)."""
-    col = F.max(ts_col).alias("latest_ts")
-    if as_agg:
-        return col
-    return df.agg(col)
+    To ride an existing groupBy (a latest offset per scanned namespace),
+    add :func:`latest_offset_agg` to its agg list instead — a separate
+    function because a column can only be evaluated against the frame its
+    aggregation runs over, so a ``df`` parameter there would be a dead,
+    misleading argument."""
+    return df.agg(latest_offset_agg(ts_col))
+
+
+def latest_offset_agg(ts_col: str) -> F.Column:
+    """The S4 probe as an aggregate COLUMN for an existing groupBy."""
+    return F.max(ts_col).alias("latest_ts")
 
 
 def bucket_table(

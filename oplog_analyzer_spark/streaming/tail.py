@@ -131,6 +131,13 @@ class TailStream:
         self.doc_sizes_path = doc_sizes_path
         self.shard_index = sorted(int(i) for i in shard_index) if shard_index else None
         self.n_shards = int(n_shards)
+        # modifier flags without their base option would silently no-op,
+        # and the meta pinning would then force a new work_dir to fix the
+        # configuration — reject them up front instead
+        if self.dump_with_shard and not self.dump:
+            raise ValueError("dump_with_shard requires dump=True (--dump)")
+        if self.full_document and self.threshold is None:
+            raise ValueError("full_document requires a threshold (--threshold)")
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         self.partials_dir = os.path.join(work_dir, "partials")
         self.metrics_dir = os.path.join(work_dir, "metrics")
@@ -218,16 +225,6 @@ class TailStream:
                     F.sum(F.when(F.col("size") > b, 1).otherwise(0)).alias(f"gt_{b}")
                 )
         return rows.groupBy("ns", "op").agg(*aggs)
-
-    def _batch_aggregate(self, batch: DataFrame) -> DataFrame:
-        """Per-batch partial of the A1 accumulator.  Grouped over ALL
-        namespaces; the system-ns exclusion is applied to the GROUPS
-        (ns is a group key, so filtering after the aggregate is identical)
-        by the caller — letting the heartbeat metrics derive from the same
-        single scan."""
-        return self._ns_op_partial(
-            self._apply_filters(parse_transcripts(batch, with_diff_stats=False))
-        )
 
     def _id_stats_partial(self, user: DataFrame) -> DataFrame:
         """Per-batch (ns,id) partial (A5/F6): only rows ≥ the independent

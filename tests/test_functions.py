@@ -647,6 +647,51 @@ def test_hash_split_invariants(spark):
         SP.hash_split(df, weights={"a": 0.9, "b": 0.2})
 
 
+def test_null_ids_hash_to_null_matching_sql_twin(spark):
+    """functions/hashing.py NULL contract: a NULL id hashes to NULL in
+    BOTH hash families (the SQL twin's 'seed:' || NULL is NULL) — so it
+    takes the fall-through split label and drops out of hash-threshold
+    filters, identically in Spark and the md5-mode DuckDB oracle.  A
+    concat_ws-built hash would instead collapse every NULL id into one
+    md5('<seed>:') bucket no SQL oracle reproduces."""
+    from oplog_analyzer_spark.functions import sampling as SP
+
+    df = spark.createDataFrame(
+        [(None, "en"), ("d1", "en"), ("d2", "de")], "doc_id string, lang string"
+    )
+    for hash_fn in ("xxhash64", "md5"):
+        split = {
+            r["doc_id"]: r["split"]
+            for r in SP.hash_split(
+                df, weights={"train": 0.5, "val": 0.5}, hash_fn=hash_fn
+            ).collect()
+        }
+        assert split[None] == "val"  # CASE fall-through, as in SQL
+        kept = SP.stratified_sample_fraction(
+            df, ["lang"], 1.0, hash_fn=hash_fn
+        ).collect()
+        assert {r["doc_id"] for r in kept} == {"d1", "d2"}  # NULL < t is NULL
+    # the md5 form must agree with DuckDB row-by-row, NULL included
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": [None, "d1", "d2"]}))
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, CASE WHEN {SP.md5_bucket_sql('doc_id')} < 500000 "
+            "THEN 'train' ELSE 'val' END FROM t"
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: r["split"]
+        for r in SP.hash_split(
+            df.select("doc_id"), weights={"train": 0.5, "val": 0.5}, hash_fn="md5"
+        ).collect()
+    }
+    assert got == oracle
+
+
 def test_stratified_fraction_nested_and_per_stratum(spark):
     """Hash-threshold sampling: kept(0.1) ⊆ kept(0.3) (nested samples),
     per-stratum fraction map honored, unlisted strata dropped, all

@@ -292,3 +292,15 @@ def test_tail_meta_mismatch_raises(spark, tmp_path):
         TailStream(spark, str(tmp_path / "in"), wd, buckets=(90, 120))
     with pytest.raises(ValueError, match="different tail configuration"):
         TailStream(spark, str(tmp_path / "in"), wd, buckets=(90,), id_stats=True)
+
+
+def test_tail_modifier_flags_require_base_option(spark, tmp_path):
+    """A modifier flag without its base option would silently no-op (and
+    the meta pinning would then block fixing it in the same work_dir) —
+    reject at init instead."""
+    with pytest.raises(ValueError, match="dump_with_shard requires"):
+        TailStream(spark, str(tmp_path / "in"), str(tmp_path / "wd1"),
+                   dump_with_shard=True)
+    with pytest.raises(ValueError, match="full_document requires"):
+        TailStream(spark, str(tmp_path / "in"), str(tmp_path / "wd2"),
+                   full_document=True)

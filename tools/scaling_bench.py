@@ -288,10 +288,20 @@ def main() -> None:
             }
         )
         run["attempts"] = hist
+    # A re-attempt of a step the operator already judges out-of-regime can
+    # carry its note at merge time (SCAL_REGIME_NOTE="..."), so the gate
+    # below never counts it as in-regime; without it a fresh out-of-regime
+    # rerun would flip the gate until the artifact was hand-annotated.
+    note = os.environ.get("SCAL_REGIME_NOTE")
+    if note:
+        run["regime_note"] = note
     runs[key] = run
-    # Evidence = the passing 4x steps; out-of-regime runs (see
-    # substrate_note) are RETAINED with pass:false for transparency.
-    evidence = sorted(k for k, r in runs.items() if r["pass"])
+    # Evidence = the passing IN-REGIME 4x steps (a burst-window pass with a
+    # regime_note is not evidence); out-of-regime runs (see substrate_note)
+    # are RETAINED in 'runs' with pass:false for transparency.
+    evidence = sorted(
+        k for k, r in runs.items() if r["pass"] and "regime_note" not in r
+    )
     # The GATE is the most recent in-regime measurement, not any-ever
     # (ADVICE r04: an any-evidence gate can never flip back on a
     # regression).  Runs carrying a regime_note straddle the substrate's
