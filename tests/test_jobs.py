@@ -221,3 +221,54 @@ def test_run_sample_reference_single_pass(spark, transcripts, tmp_path, monkeypa
     with open(ref_out) as f:
         doc = json.load(f)
     assert doc["totalProcessed"] > 0 and doc["totalSampled"] > 0
+
+
+def test_run_dataset_cli(spark, tmp_path, monkeypatch, capsys):
+    """§2.11 as a command: dedup → quality gate → split → stratified
+    sample → pack → epoch shuffle composed by run_dataset, per-stage
+    counts riding the single write as Observation metrics."""
+    import json
+
+    rows = []
+    base = ("the quick brown fox jumps over the lazy dog and then some more "
+            "words follow here")
+    for i in range(60):
+        lang = "en" if i % 2 == 0 else "de"
+        rows.append((i, f"{base} variant {i}", lang))
+    rows.append((100, rows[0][1], "en"))   # exact clone of doc 0 → deduped
+    rows.append((101, "!!! ??? ...", "en"))  # fails the quality gate
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    df.write.parquet(src)
+
+    from jobs.run_dataset import main
+
+    printed = _run(
+        main,
+        ["--input", src, "--output", out,
+         "--dedup", "exact", "--quality-gate",
+         "--split", "train=0.8,val=0.2",
+         "--sample-strata", "lang", "--sample-fractions", "en=1.0,de=1.0",
+         "--pack", "64", "--shuffle-seed", "7", "--hash", "md5"],
+        monkeypatch, capsys,
+    )
+    summary = json.loads(printed.strip().splitlines()[-1])
+    assert summary["rows_in"] == 62
+    assert summary["rows_after_dedup"] == 61      # clone collapsed
+    assert summary["rows_after_quality"] == 60    # junk row gated
+    assert summary["rows_after_sample"] == 60     # 1.0 fractions keep all
+    written = spark.read.parquet(out)
+    assert written.count() == 60
+    assert {"split", "bucket", "seq_idx", "oversize", "n_tokens"} <= set(
+        written.columns
+    )
+    assert set(r["split"] for r in written.select("split").distinct().collect()) <= {
+        "train", "val"
+    }
+    # packing respected the cap (no multi-doc sequence over 64 tokens)
+    from oplog_analyzer_spark.functions.packing import sequence_stats
+
+    stats = sequence_stats(written).collect()
+    for r in stats:
+        assert r["total_tokens"] <= 64 or r["n_docs"] == 1
