@@ -63,3 +63,15 @@ def test_all_queries_run_small(spark):
     with ThreadPoolExecutor(max_workers=8) as pool:
         for name, n in pool.map(run, dfs.items()):
             assert n >= 0, name
+
+
+def test_bench_headline_queries_registered():
+    """bench.py calls its headline queries by name; parking or folding a
+    row must never orphan one (the driver's per-round bench run would
+    crash, not skip)."""
+    import bench
+
+    qs = E.queries()
+    missing = [n for n in bench.HEADLINE_QUERIES if n not in qs]
+    assert not missing, missing
+    assert set(bench.QUERY_REV) <= set(qs)
