@@ -8,10 +8,16 @@ surface).
     --input docs.parquet --output <dir> \
     [--dedup exact|ngram|minhash|simhash] [--dedup-threshold 0.8] \
     [--minhash-hashes 32] [--minhash-bands 8] [--max-bucket N] \
+    [--simhash-hamming 3] [--simhash-blocks 4] [--match-blocks 1] \
     [--quality-gate] \
     [--split train=0.98,val=0.01,test=0.01] \
     [--sample-strata lang --sample-fractions en=0.5,de=1.0] \
-    [--pack 2048] [--shuffle-seed 7] [--seed 42] [--hash xxhash64|md5]
+    [--pack 2048] [--pack-buckets N] [--shuffle-seed 7] \
+    [--seed 42] [--hash xxhash64|md5]
+
+Strategy-specific flags are VALIDATED against the chosen strategy: passing
+a jaccard threshold with --dedup simhash (hamming-based) or minhash knobs
+with --dedup ngram is an argparse error, not a silent ignore.
 
 Prints ONE JSON summary line.  Per-stage row counts ride the single write
 action as ``Observation`` metrics — no extra count() scans (the
@@ -43,14 +49,25 @@ def main() -> None:
         help="dedup strategy; near-dup pairs resolve to a keep set via one "
         "anti-join (cluster_dedup_keep)",
     )
-    ap.add_argument("--dedup-threshold", type=float, default=0.8,
-                    help="jaccard threshold for ngram/minhash")
-    ap.add_argument("--minhash-hashes", type=int, default=32)
-    ap.add_argument("--minhash-bands", type=int, default=8)
+    ap.add_argument("--dedup-threshold", type=float,
+                    help="jaccard threshold for --dedup ngram|minhash "
+                    "(default 0.8; rejected with other strategies — simhash "
+                    "is hamming-distance-based, see --simhash-hamming)")
+    ap.add_argument("--minhash-hashes", type=int,
+                    help="minhash signature length (default 32)")
+    ap.add_argument("--minhash-bands", type=int,
+                    help="LSH band count (default 8)")
     ap.add_argument(
         "--max-bucket", type=int,
         help="hot-bucket cap for minhash LSH (deterministic, band-dependent)",
     )
+    ap.add_argument("--simhash-hamming", type=int,
+                    help="max hamming distance for --dedup simhash (default 3)")
+    ap.add_argument("--simhash-blocks", type=int,
+                    help="pigeonhole blocks for --dedup simhash (default 4)")
+    ap.add_argument("--match-blocks", type=int,
+                    help="blocks that must agree per simhash candidate "
+                    "(default 1; raise with --simhash-blocks at corpus scale)")
     ap.add_argument("--quality-gate", action="store_true",
                     help="drop docs failing the quality_score gate "
                     "(quality_ok: >=5 tokens, punctuation < 1/4 of bytes, "
@@ -65,6 +82,10 @@ def main() -> None:
                     help="pack into sequences of at most this many tokens "
                     "(adds bucket/seq_idx/oversize; n_tokens derived from "
                     "the text when absent)")
+    ap.add_argument("--pack-buckets", type=int,
+                    help="pin the packing bucket count (stable assignments "
+                    "for resumable pipelines; default derives it from one "
+                    "row count over the persisted pre-pack frame)")
     ap.add_argument("--shuffle-seed", type=int,
                     help="deterministic epoch-shuffle sort before the write")
     ap.add_argument("--seed", type=int, default=42)
@@ -72,6 +93,24 @@ def main() -> None:
                     help="hash family for split/sample/pack (md5 = the "
                     "SQL-certifiable form)")
     args = ap.parse_args()
+
+    # flag/strategy contract (VERDICT r05 #2: a silently-ignored knob is a
+    # lying CLI) — every strategy-specific flag is rejected unless its
+    # strategy is selected, with the default applied only where it applies
+    def _require(flag: str, ok: bool, why: str) -> None:
+        if getattr(args, flag.lstrip("-").replace("-", "_")) is not None and not ok:
+            ap.error(f"{flag} only applies {why}")
+
+    _require("--dedup-threshold", args.dedup in ("ngram", "minhash"),
+             "with --dedup ngram|minhash (jaccard); simhash uses "
+             "--simhash-hamming, exact has no threshold")
+    _require("--max-bucket", args.dedup == "minhash", "with --dedup minhash")
+    _require("--minhash-hashes", args.dedup == "minhash", "with --dedup minhash")
+    _require("--minhash-bands", args.dedup == "minhash", "with --dedup minhash")
+    _require("--simhash-hamming", args.dedup == "simhash", "with --dedup simhash")
+    _require("--simhash-blocks", args.dedup == "simhash", "with --dedup simhash")
+    _require("--match-blocks", args.dedup == "simhash", "with --dedup simhash")
+    _require("--pack-buckets", args.pack is not None, "with --pack")
 
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -99,19 +138,25 @@ def main() -> None:
         )
         df = df.join(keep, args.id_col, "left_semi")
     elif args.dedup:
+        threshold = 0.8 if args.dedup_threshold is None else args.dedup_threshold
         if args.dedup == "ngram":
             pairs = D.ngram_jaccard_pairs(
-                df, args.id_col, args.text_col,
-                threshold=args.dedup_threshold, max_doc_freq=10_000,
+                df, args.id_col, args.text_col, threshold=threshold,
             )
         elif args.dedup == "minhash":
             pairs = D.minhash_lsh_pairs(
                 df, args.id_col, args.text_col,
-                num_hashes=args.minhash_hashes, bands=args.minhash_bands,
-                threshold=args.dedup_threshold, max_bucket=args.max_bucket,
+                num_hashes=args.minhash_hashes or 32,
+                bands=args.minhash_bands or 8,
+                threshold=threshold, max_bucket=args.max_bucket,
             )
         else:
-            pairs = D.simhash_pairs(df, args.id_col, args.text_col)
+            pairs = D.simhash_pairs(
+                df, args.id_col, args.text_col,
+                max_hamming=args.simhash_hamming or 3,
+                blocks=args.simhash_blocks or 4,
+                match_blocks=args.match_blocks or 1,
+            )
         keep = D.cluster_dedup_keep(
             pairs, df.select(F.col(args.id_col).alias("id"))
         ).select(F.col("id").alias(args.id_col))
@@ -139,11 +184,19 @@ def main() -> None:
         )
         df = observe("rows_after_sample", df)
 
+    persisted = None
     if args.pack:
         if "n_tokens" not in df.columns:
             df = TS.token_count(df, args.text_col)
+        # bucket sizing (derived or guard-checked) runs one count() inside
+        # pack_sequences; persist the pre-pack frame so that action fills a
+        # cache the final write reads back, instead of re-executing the
+        # whole upstream DAG (dedup self-join, quality gate, sampling) a
+        # second time (ADVICE r05 medium)
+        persisted = df = df.persist()
         df = P.pack_sequences(
             df, id_col=args.id_col, max_tokens=args.pack,
+            n_buckets=args.pack_buckets,
             seed=args.seed + 2, hash_fn=args.hash,
         )
 
@@ -154,6 +207,8 @@ def main() -> None:
     if args.split:
         writer = writer.partitionBy("split")
     writer.parquet(args.output)
+    if persisted is not None:
+        persisted.unpersist()
 
     summary = {stage: obs.get["rows"] for stage, obs in observations.items()}
     summary["output"] = args.output

@@ -15,12 +15,19 @@ configuration is pinned in work_dir/tail_meta.json).
     [--threshold N [--full-document]] [--shard-index 0,2] [--shards N] \
     [--dump [--dump-with-shard]] \
     [--id-stats [--id-stats-threshold N] [--top-ids K] [--doc-sizes <dir>]] \
-    [--buckets 1000,10000] [--stateful] [--lag-wallclock "ts"]
+    [--buckets 1000,10000] [--stateful] [--lag-wallclock "ts"] \
+    [--continuous [--processing-time "5 seconds"] [--heartbeat-sec 30]]
+
+``--continuous`` is the reference's actual runtime behavior: block forever
+polling for new entries, report on a heartbeat, and drain gracefully on
+SIGINT/SIGTERM.  Without it, one AvailableNow drain runs (the resumable
+incremental-batch form certified by the driver rows).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main() -> None:
@@ -85,6 +92,30 @@ def main() -> None:
     ap.add_argument("--stateful", action="store_true",
                     help="maintain the accumulator as applyInPandasWithState "
                          "operator state instead of merge-safe partials")
+    ap.add_argument(
+        "--continuous", action="store_true",
+        help="T1/T5 full parity: keep tailing forever (processingTime "
+        "trigger) instead of draining once; SIGINT/SIGTERM triggers the "
+        "graceful 3-stage shutdown (stop accepting batches → await "
+        "termination → final merged report), the reference's forever-tail "
+        "loop + shutdown (TailCommand.java:546, 817-921)",
+    )
+    ap.add_argument("--processing-time", default="5 seconds",
+                    help="micro-batch poll interval for --continuous")
+    ap.add_argument(
+        "--heartbeat-sec", type=float, default=30.0,
+        help="with --continuous: print a one-line progress heartbeat this "
+        "often (the reference's 30 s reporter, TailCommand.java:750-763)",
+    )
+    ap.add_argument(
+        "--stop-file",
+        help="with --continuous: also drain gracefully when this marker "
+        "file appears.  The signal path only reaches this driver when "
+        "python IS the signalled process (direct `python jobs/run_tail.py`"
+        " — pyspark's gateway JVM ignores SIGINT); under spark-submit the "
+        "parent JVM owns the default SIGINT disposition and dies first, "
+        "so cluster launchers should drain via the marker file instead",
+    )
     ap.add_argument("--lag-wallclock", help="report lag vs this wallclock (P8/T4)")
     ap.add_argument(
         "--buckets",
@@ -124,8 +155,14 @@ def main() -> None:
         n_shards=args.shards,
     )
     if args.stateful:
+        if args.continuous:
+            ap.error("--stateful and --continuous are mutually exclusive "
+                     "(the stateful form carries only the ns::op report)")
         tail.run_stateful_available()
         print(console_report(tail.stateful_report()))
+    elif args.continuous:
+        _run_continuous(tail, args)
+        print(console_report(tail.report()))
     else:
         tail.run_available()
         print(console_report(tail.report()))
@@ -136,9 +173,63 @@ def main() -> None:
         print(f"\n--- TOP {args.top_ids} IDS (A5/A6, cumulative) ---")
         print(console_report(tail.top_ids(args.top_ids)))
     if args.dump:
-        print(f"\ndump sink: {tail.dump_dir} ({tail.dumped_rows().count()} rows)")
+        # a run whose drain produced zero micro-batches leaves the dump dir
+        # absent — report 0 rows, like a zero-row batch pass (ADVICE r05)
+        n = tail.dumped_rows().count() if os.path.isdir(tail.dump_dir) else 0
+        print(f"\ndump sink: {tail.dump_dir} ({n} rows)")
     if args.lag_wallclock:
-        print(console_report(tail.lag_seconds(args.lag_wallclock)))
+        if os.path.isdir(tail.metrics_dir):
+            print(console_report(tail.lag_seconds(args.lag_wallclock)))
+        else:
+            print("lag: no micro-batch has run yet")
+
+
+def _run_continuous(tail, args) -> None:
+    """The forever-tail loop: start the processingTime query, heartbeat
+    every --heartbeat-sec from StreamingQueryProgress, and on SIGINT /
+    SIGTERM perform the reference's 3-stage graceful shutdown
+    (TailCommand.java:817-921): (1) stop accepting new micro-batches
+    (query.stop()), (2) await termination of the in-flight batch, (3) the
+    caller prints the final merged report.  The handler only sets a flag —
+    query.stop() runs on the main thread, not inside the signal frame."""
+    import signal
+    import time
+
+    q = tail.run_continuous(processing_time=args.processing_time)
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):  # noqa: ARG001
+        stop_requested["flag"] = True
+
+    prev_int = signal.signal(signal.SIGINT, _request_stop)
+    prev_term = signal.signal(signal.SIGTERM, _request_stop)
+    try:
+        last_beat = time.monotonic()
+        print(f"tailing {tail.input_dir} (trigger every "
+              f"{args.processing_time}; Ctrl-C to drain and report)",
+              flush=True)
+
+        def stop_file_present() -> bool:
+            return bool(args.stop_file) and os.path.exists(args.stop_file)
+
+        while q.isActive and not stop_requested["flag"] and not stop_file_present():
+            time.sleep(0.2)
+            now = time.monotonic()
+            if now - last_beat >= args.heartbeat_sec:
+                last_beat = now
+                p = q.lastProgress
+                rows = p["numInputRows"] if p else 0
+                bid = p["batchId"] if p else "-"
+                print(f"heartbeat: batch={bid} rows_in_last_batch={rows}",
+                      flush=True)
+        print("stopping tail (graceful drain)...", flush=True)
+        q.stop()
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        signal.signal(signal.SIGINT, prev_int)
+        signal.signal(signal.SIGTERM, prev_term)
 
 
 if __name__ == "__main__":

@@ -69,8 +69,16 @@ def pack_sequences(
     import numpy as np
 
     if n_buckets is None:
+        # floor at the cluster's default parallelism (ADVICE r05): pure
+        # ceil(rows/target) collapses any input under ~target rows to ONE
+        # bucket — a single serial applyInPandas task.  NOTE: default-mode
+        # assignments are a function of the ROW COUNT, so they are not
+        # stable across differently-sized inputs (adding one row past a
+        # bucket boundary reshuffles every row's bucket/seq_idx); pin an
+        # explicit n_buckets when a resumable pipeline needs stability.
         n_rows = df.count()
-        n_buckets = max(1, -(-n_rows // target_rows_per_bucket))
+        floor = df.sparkSession.sparkContext.defaultParallelism
+        n_buckets = max(1, floor, -(-n_rows // target_rows_per_bucket))
     elif check_explicit_buckets:
         n_rows = df.count()
         if n_rows / n_buckets > 4 * target_rows_per_bucket:

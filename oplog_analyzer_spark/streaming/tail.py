@@ -69,12 +69,16 @@ class TailStream:
     #: options that define the MEANING of the cumulative partials; pinned
     #: in work_dir/tail_meta.json at creation and enforced on resume
     #: (ADVICE r04: resuming with a different --buckets silently
-    #: undercounted via null gt_* columns — now it raises at init)
+    #: undercounted via null gt_* columns — now it raises at init).
+    #: ``doc_sizes_path`` + ``doc_sizes_fingerprint`` pin the --fetchDocSizes
+    #: dimension itself (ADVICE r05: a resume against a different or
+    #: refreshed lookup table would merge per-id doc-size partials computed
+    #: against different dimensions — the same meaning-drift class).
     _META_FIELDS = (
         "buckets", "include_namespaces", "include_ops", "min_size",
         "max_size", "threshold", "full_document", "dump", "dump_with_shard",
-        "id_stats", "id_stats_threshold", "has_doc_sizes", "shard_index",
-        "n_shards",
+        "id_stats", "id_stats_threshold", "doc_sizes_path",
+        "doc_sizes_fingerprint", "shard_index", "n_shards",
     )
 
     def __init__(
@@ -150,10 +154,25 @@ class TailStream:
         self._enforce_meta()
 
     # -- configuration pinning ---------------------------------------------
+    def _doc_sizes_fingerprint(self) -> int | None:
+        """Order-independent content fingerprint of the doc-size dimension
+        (bit_xor of per-row xxhash64): a resumed run whose --doc-sizes table
+        was refreshed in place would otherwise pass a path-only check while
+        its per-id partials mean something different batch-to-batch.  The
+        dimension is broadcast-small by contract, so this one aggregate at
+        init is cheap."""
+        if self.doc_sizes_path is None:
+            return None
+        dim = self.spark.read.parquet(self.doc_sizes_path)
+        row = dim.agg(
+            F.expr("bit_xor(xxhash64(ns, id, doc_size))").alias("fp")
+        ).collect()[0]
+        return int(row["fp"]) if row["fp"] is not None else 0
+
     def _meta(self) -> dict:
         m = {k: getattr(self, k, None) for k in self._META_FIELDS}
         m["buckets"] = list(self.buckets)
-        m["has_doc_sizes"] = self.doc_sizes_path is not None
+        m["doc_sizes_fingerprint"] = self._doc_sizes_fingerprint()
         return m
 
     def _enforce_meta(self) -> None:
@@ -322,6 +341,32 @@ class TailStream:
         )
         q.awaitTermination()
 
+    def run_continuous(self, processing_time: str = "5 seconds"):
+        """T1/T5 full parity: the forever-running tail.  The reference
+        flagship blocks on a tailable-await cursor indefinitely
+        (TailCommand.java:546); this is the same loop as a processingTime
+        trigger over the same source/sink/checkpoint as ``run_available``
+        — the query keeps polling ``input_dir`` for new files every
+        ``processing_time`` until the caller stops it, and because the two
+        triggers share the checkpoint, a drain can hand off to a continuous
+        run (and back) without reprocessing.
+
+        Returns the running ``StreamingQuery``; the caller owns the stop.
+        ``jobs/run_tail.py --continuous`` wires SIGINT/SIGTERM →
+        ``query.stop()`` → final merged report, the analog of the
+        reference's 3-stage graceful shutdown (TailCommand.java:817-921).
+        ``query.stop()`` interrupts between (or mid-) micro-batches;
+        foreachBatch is at-least-once, and every sink is a per-batch_id
+        overwrite, so an interrupted batch is replayed idempotently on the
+        next start — report() stays exact across any stop point."""
+        return (
+            self._source()
+            .writeStream.foreachBatch(self._sink_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
     # -- T6 as TRUE operator state (applyInPandasWithState) ----------------
     def run_stateful_available(self) -> None:
         """Alternative T6 path: the per-(ns,op) accumulator maintained as
@@ -411,13 +456,32 @@ class TailStream:
             "avg_size", F.floor(F.col("total_size") / F.col("count")).cast("long")
         )
 
+    def _read_partials(self, base_dir: str, empty_schema: str) -> DataFrame | None:
+        """Read the per-batch partial parquets, or return an empty frame
+        with the partials schema when NO micro-batch ever ran (fresh/empty
+        input dir → foreachBatch never fires → the directory is absent;
+        ADVICE r05: the reports must then print empty, exactly like a
+        zero-row batch pass, instead of raising on the missing glob)."""
+        if not os.path.isdir(base_dir):
+            return self.spark.createDataFrame([], empty_schema)
+        return self.spark.read.option("basePath", base_dir).parquet(
+            os.path.join(base_dir, "batch_id=*")
+        )
+
+    def _partials_schema(self, with_buckets: bool = True) -> str:
+        s = (
+            "ns string, op string, count bigint, total_size bigint, "
+            "min_size bigint, max_size bigint, latest_ts timestamp"
+        )
+        if with_buckets:
+            s += "".join(f", gt_{b} bigint" for b in self.buckets)
+        return s
+
     def report(self) -> DataFrame:
         """Cumulative A1 report: final merge of all batch partials — the
         same partial/final algebra as the reference's mergeShardResults
         (TailCommand.java:1103-1146), with floor-avg display parity."""
-        partials = self.spark.read.option("basePath", self.partials_dir).parquet(
-            os.path.join(self.partials_dir, "batch_id=*")
-        )
+        partials = self._read_partials(self.partials_dir, self._partials_schema())
         aggs = [
             F.sum("count").alias("count"),
             F.sum("total_size").alias("total_size"),
@@ -439,9 +503,9 @@ class TailStream:
         report()."""
         if self.threshold is None:
             raise ValueError("TailStream was created without threshold")
-        partials = self.spark.read.option(
-            "basePath", self.over_partials_dir
-        ).parquet(os.path.join(self.over_partials_dir, "batch_id=*"))
+        partials = self._read_partials(
+            self.over_partials_dir, self._partials_schema(with_buckets=False)
+        )
         merged = partials.groupBy("ns", "op").agg(
             F.sum("count").alias("count"),
             F.sum("total_size").alias("total_size"),
@@ -463,9 +527,16 @@ class TailStream:
         exactly matching a single-pass recompute."""
         if not self.id_stats:
             raise ValueError("TailStream was created without id_stats")
-        partials = self.spark.read.option("basePath", self.id_partials_dir).parquet(
-            os.path.join(self.id_partials_dir, "batch_id=*")
+        id_schema = (
+            "ns string, id string, count bigint, total_oplog_size bigint, "
+            "min_oplog_size bigint, max_oplog_size bigint"
         )
+        if self.doc_sizes_path is not None:
+            id_schema += (
+                ", total_doc_size bigint, min_doc_size bigint, "
+                "max_doc_size bigint, doc_size_count bigint"
+            )
+        partials = self._read_partials(self.id_partials_dir, id_schema)
         aggs = [
             F.sum("count").alias("count"),
             F.sum("total_oplog_size").alias("total_oplog_size"),

@@ -144,6 +144,105 @@ def test_run_tail_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
     assert "dump sink:" in out3
 
 
+def test_run_tail_continuous_sigint_and_stop_file(
+    spark, transcripts, tmp_path, monkeypatch, capsys
+):
+    """T5 graceful drain through the CLI, both drain signals: (a) SIGINT
+    delivered to the python driver (the direct-python launch path — the
+    handler sets a flag, the main loop stops the query and prints the
+    final merged report) and (b) the --stop-file marker (the spark-submit
+    path, where the parent JVM owns the default SIGINT disposition).  Each
+    run's final report must equal the one-shot batch recompute."""
+    import os
+    import signal
+    import threading
+    import time
+
+    from jobs.run_tail import main
+    from oplog_analyzer_spark.streaming.tail import TailStream
+
+    src = str(tmp_path / "src_cont")
+    transcripts.write.parquet(src)
+
+    def batch_total() -> int:
+        from oplog_analyzer_spark.operators.aggregate import ns_op_report
+        from oplog_analyzer_spark.operators.filters import exclude_system_namespaces
+        from oplog_analyzer_spark.operators.parse import parse_transcripts
+
+        parsed = exclude_system_namespaces(
+            parse_transcripts(spark.read.parquet(src), with_diff_stats=False)
+        )
+        return sum(r["count"] for r in ns_op_report(parsed).collect())
+
+    n_input = spark.read.parquet(src).count()
+
+    def drain_when_processed(wd: str, fire) -> threading.Thread:
+        """Watch the per-batch metrics from a side thread; once EVERY input
+        row has been processed (not merely the first micro-batch — a drain
+        racing a pending batch would under-count the final report), fire
+        the drain signal."""
+        def watch():
+            deadline = time.monotonic() + 240
+            metrics = os.path.join(wd, "metrics")
+            while time.monotonic() < deadline:
+                try:
+                    done = (
+                        spark.read.parquet(metrics)
+                        .agg(F.sum("rows")).collect()[0][0] or 0
+                    )
+                except Exception:  # no batch yet / in-flight dir
+                    done = 0
+                if done >= n_input:
+                    break
+                time.sleep(0.5)
+            time.sleep(2)  # let the last batch commit its offset
+            fire()
+        t = threading.Thread(target=watch, daemon=True)
+        t.start()
+        return t
+
+    # (a) SIGINT to the python driver (handlers run in the main thread,
+    # which is sitting in the _run_continuous poll loop)
+    wd_a = str(tmp_path / "wd_sig")
+    backstop = str(tmp_path / "backstop.marker")
+
+    def fire_sigint():
+        os.kill(os.getpid(), signal.SIGINT)
+        time.sleep(30)
+        open(backstop, "w").close()  # only reached if the signal was lost
+
+    watcher = drain_when_processed(wd_a, fire_sigint)
+    out = _run(
+        main,
+        ["--input", src, "--work-dir", wd_a, "--continuous",
+         "--processing-time", "1 second", "--stop-file", backstop],
+        monkeypatch, capsys,
+    )
+    assert not os.path.exists(backstop), "SIGINT was lost; backstop drained"
+    assert "graceful" in out
+    total_a = sum(
+        r["count"] for r in TailStream(spark, src, wd_a).report().collect()
+    )
+    assert total_a == batch_total() > 0
+
+    # (b) --stop-file marker drain
+    wd_b = str(tmp_path / "wd_marker")
+    marker = str(tmp_path / "drain.marker")
+    drain_when_processed(wd_b, lambda: open(marker, "w").close())
+    out_b = _run(
+        main,
+        ["--input", src, "--work-dir", wd_b, "--continuous",
+         "--processing-time", "1 second", "--stop-file", marker],
+        monkeypatch, capsys,
+    )
+    assert "graceful" in out_b
+    total_b = sum(
+        r["count"] for r in TailStream(spark, src, wd_b).report().collect()
+    )
+    assert total_b == batch_total()
+    watcher.join(timeout=60)
+
+
 def test_run_sample_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
     src = str(tmp_path / "src4")
     transcripts.write.parquet(src)
@@ -272,3 +371,67 @@ def test_run_dataset_cli(spark, tmp_path, monkeypatch, capsys):
     stats = sequence_stats(written).collect()
     for r in stats:
         assert r["total_tokens"] <= 64 or r["n_docs"] == 1
+
+
+def _dataset_corpus(spark, tmp_path) -> str:
+    base = ("the quick brown fox jumps over the lazy dog and then some more "
+            "words follow here")
+    rows = [(i, f"{base} variant {i % 20}", "en") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    src = str(tmp_path / "docs_src")
+    df.write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypatch):
+    """Strategy-specific knobs with the wrong --dedup must be an argparse
+    error, not a silent ignore (VERDICT r05 #2: --dedup simhash used to
+    swallow --dedup-threshold/--max-bucket)."""
+    import pytest
+
+    src = _dataset_corpus(spark, tmp_path)
+    out = str(tmp_path / "out_rej")
+    from jobs.run_dataset import main
+
+    bad_argvs = [
+        ["--dedup", "simhash", "--dedup-threshold", "0.8"],   # jaccard knob
+        ["--dedup", "simhash", "--max-bucket", "100"],
+        ["--dedup", "exact", "--dedup-threshold", "0.8"],
+        ["--dedup", "ngram", "--minhash-hashes", "16"],
+        ["--dedup", "minhash", "--simhash-hamming", "2"],
+        ["--simhash-blocks", "8"],                            # no --dedup at all
+        ["--pack-buckets", "8"],                              # no --pack
+    ]
+    for extra in bad_argvs:
+        monkeypatch.setattr(sys, "argv",
+                            ["prog", "--input", src, "--output", out, *extra])
+        with pytest.raises(SystemExit):
+            main()
+
+
+def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, capsys):
+    """One run per dedup strategy with its OWN knobs: the CLI contract the
+    rejection test polices must also accept the matched combinations."""
+    import json
+
+    src = _dataset_corpus(spark, tmp_path)
+    from jobs.run_dataset import main
+
+    cases = [
+        ["--dedup", "minhash", "--dedup-threshold", "0.7",
+         "--minhash-hashes", "16", "--minhash-bands", "4", "--max-bucket", "64"],
+        ["--dedup", "simhash", "--simhash-hamming", "3",
+         "--simhash-blocks", "8", "--match-blocks", "5"],
+        ["--dedup", "ngram", "--dedup-threshold", "0.9"],
+        ["--pack", "64", "--pack-buckets", "4"],
+    ]
+    for i, extra in enumerate(cases):
+        out = str(tmp_path / f"out_ok_{i}")
+        printed = _run(main, ["--input", src, "--output", out, *extra],
+                       monkeypatch, capsys)
+        summary = json.loads(printed.strip().splitlines()[-1])
+        assert summary["rows_in"] == 40
+        assert spark.read.parquet(out).count() >= 1
+    # explicit --pack-buckets pins bucket ids under the given count
+    packed = spark.read.parquet(str(tmp_path / "out_ok_3"))
+    assert packed.agg({"bucket": "max"}).collect()[0][0] < 4

@@ -304,3 +304,131 @@ def test_tail_modifier_flags_require_base_option(spark, tmp_path):
     with pytest.raises(ValueError, match="full_document requires"):
         TailStream(spark, str(tmp_path / "in"), str(tmp_path / "wd2"),
                    full_document=True)
+
+
+def test_tail_continuous_trigger_feeds_while_running(spark, tmp_path):
+    """T1/T5 full parity: the forever-tail (processingTime trigger) picks
+    up files written WHILE it runs, a graceful stop drains it, and the
+    cumulative report equals one batch recompute over everything —
+    then an AvailableNow drain resumes the SAME checkpoint without
+    reprocessing (trigger handoff)."""
+    import time
+
+    input_dir = str(tmp_path / "in_cont")
+    T.generate_transcripts(spark, num_conversations=40, seed=3).coalesce(2).write.mode(
+        "append"
+    ).parquet(input_dir)
+    tail = TailStream(spark, input_dir, str(tmp_path / "wd_cont"))
+
+    def processed_rows() -> int:
+        import os
+        if not os.path.isdir(tail.metrics_dir):
+            return 0
+        try:
+            return (
+                spark.read.parquet(tail.metrics_dir).agg(F.sum("rows")).collect()[0][0]
+                or 0
+            )
+        except Exception:  # in-flight batch dir, schema not yet readable
+            return 0
+
+    def wait_until(target: int, timeout: float = 120.0) -> None:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if processed_rows() >= target:
+                return
+            time.sleep(0.5)
+        raise AssertionError(
+            f"continuous tail never reached {target} rows "
+            f"(got {processed_rows()})"
+        )
+
+    q = tail.run_continuous(processing_time="1 second")
+    try:
+        assert q.isActive
+        n1 = spark.read.parquet(input_dir).count()
+        wait_until(n1)
+        # new files arrive while the query is LIVE — no restart involved
+        T.generate_transcripts(spark, num_conversations=25, seed=7).coalesce(
+            2
+        ).write.mode("append").parquet(input_dir)
+        total = spark.read.parquet(input_dir).count()
+        assert total > n1
+        wait_until(total)
+    finally:
+        q.stop()  # graceful drain: between/mid-batch, sinks are idempotent
+        q.awaitTermination()
+    assert not q.isActive and q.exception() is None
+
+    got = {
+        (r["ns"], r["op"]): (r["count"], r["total_size"], r["min_size"],
+                             r["max_size"], r["avg_size"])
+        for r in tail.report().collect()
+    }
+    assert got == _expected_report(spark, input_dir)
+
+    # handoff: an AvailableNow drain over the same work_dir sees nothing
+    # new (shared checkpoint) and the report is unchanged
+    tail2 = TailStream(spark, input_dir, str(tmp_path / "wd_cont"))
+    tail2.run_available()
+    got2 = {
+        (r["ns"], r["op"]): (r["count"], r["total_size"], r["min_size"],
+                             r["max_size"], r["avg_size"])
+        for r in tail2.report().collect()
+    }
+    assert got2 == got
+
+
+def test_tail_zero_batch_reports_empty(spark, tmp_path):
+    """A tail whose drain produced ZERO micro-batches (fresh/empty input
+    dir) must report empty, exactly like a zero-row batch pass, instead of
+    raising on the missing partials glob (ADVICE r05)."""
+    import os
+
+    input_dir = str(tmp_path / "in_empty")
+    os.makedirs(input_dir)
+    tail = TailStream(
+        spark, input_dir, str(tmp_path / "wd_empty"),
+        buckets=(90,), threshold=50, id_stats=True,
+    )
+    tail.run_available()  # no files → foreachBatch never fires
+    assert tail.report().collect() == []
+    assert tail.over_threshold_report().collect() == []
+    assert tail.id_stats_report().collect() == []
+    assert tail.top_ids().collect() == []
+    # and the report schema matches a real pass (merge columns + avg)
+    assert {"ns", "op", "count", "total_size", "gt_90", "avg_size"} <= set(
+        tail.report().columns
+    )
+
+
+def test_tail_meta_pins_doc_sizes_dimension(spark, tmp_path):
+    """ADVICE r05: --doc-sizes defines the MEANING of the per-id doc-size
+    partials; resuming with a different path OR refreshed contents at the
+    same path must raise like any other accumulator-defining option."""
+    dim_a = str(tmp_path / "dim_a")
+    dim_b = str(tmp_path / "dim_b")
+    spark.createDataFrame(
+        [("db0.c", "x", 10)], "ns string, id string, doc_size long"
+    ).write.parquet(dim_a)
+    spark.createDataFrame(
+        [("db0.c", "x", 99)], "ns string, id string, doc_size long"
+    ).write.parquet(dim_b)
+
+    wd = str(tmp_path / "wd_dim")
+    TailStream(spark, str(tmp_path / "in"), wd, id_stats=True,
+               doc_sizes_path=dim_a)
+    # same path, same contents → resumes
+    TailStream(spark, str(tmp_path / "in"), wd, id_stats=True,
+               doc_sizes_path=dim_a)
+    # different path → raises
+    with pytest.raises(ValueError, match="different tail configuration"):
+        TailStream(spark, str(tmp_path / "in"), wd, id_stats=True,
+                   doc_sizes_path=dim_b)
+    # SAME path, refreshed contents → the fingerprint catches it
+    spark.createDataFrame(
+        [("db0.c", "x", 77)], "ns string, id string, doc_size long"
+    ).write.mode("overwrite").parquet(dim_a)
+    with pytest.raises(ValueError, match="different tail configuration"):
+        TailStream(spark, str(tmp_path / "in"), wd, id_stats=True,
+                   doc_sizes_path=dim_a)
