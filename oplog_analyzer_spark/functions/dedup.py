@@ -64,20 +64,33 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    k = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.when(
-            k >= 1,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    The token array is LET-BOUND once per row (``transform`` over a
+    single-element array — the lambda argument is evaluated exactly once,
+    then every ``element_at`` reads the bound variable).  Inlining ``toks``
+    directly instead stamps the regex split into all n·k ``element_at``
+    sites, and higher-order lambdas evaluate interpreted, so each row paid
+    ~3·positions full-text regex splits — O(len²) per document, the kind
+    of constant that silently dominates a 100 TB shingle pass."""
+    toks_expr = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _from_tokens(toks: F.Column) -> F.Column:
+        k = F.size(toks) - (n - 1)
+        return F.array_distinct(
+            F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, (i + j).cast("int")) for j in range(n)],
+                    ),
                 ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks))),
-    )
+            ).otherwise(F.array(F.concat_ws(" ", toks))),
+        )
+
+    return F.element_at(F.transform(F.array(toks_expr), _from_tokens), 1)
 
 
 def ngram_jaccard_pairs(
@@ -86,7 +99,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard via inverted shingle index.
 
@@ -101,8 +114,11 @@ def ngram_jaccard_pairs(
     the INDEX ONLY (one extra aggregate over the posting list).  With the
     cap, ``inter`` undercounts by the dropped shingles, so jaccard is a
     lower bound: recall can drop for pairs whose overlap is mostly
-    stop-shingles, but no false positives appear.  Default None = exact
-    (the oracle-matched form).
+    stop-shingles, but no false positives appear.  The DEFAULT is a finite
+    cap of 10 000 (VERDICT r05: the uncapped form ground one core for 45+
+    min at sf0.1 — a library user must not get the d²/2 configuration by
+    accident); pass ``max_doc_freq=None`` explicitly for the oracle-exact
+    uncapped form on corpora known to carry no stop-shingles.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -146,24 +162,32 @@ def minhash_signatures(
     hash(i, shingle).  Pure column expressions — the min-per-seed runs
     inside one projection over the shingle array (no explode, no shuffle).
 
-    The seed must be bound through a one-parameter closure: ``F.transform``
-    passes the ARRAY INDEX as the second argument to any two-parameter
-    lambda, so the once-used ``lambda s, i=i:`` form silently replaced
-    every seed with the element-index column and collapsed the signature
-    to num_hashes copies of one min.
+    The seed rides the OUTER transform's lambda variable over
+    ``sequence(0, num_hashes-1)`` (int-typed like ``F.lit(int)``, so hash
+    values are identical to per-seed literals — ``hashing.seeded_hash_col``).
+    Expression-shape note: the former per-seed comprehension
+    ``F.array(*[array_min(transform(sh, hash_i)) for i ...])`` stamped
+    num_hashes COPIES of the whole shingle expression into one projection
+    — interpreted HOF evaluation re-ran the shingle construction per seed
+    and the tree took seconds to compile; this form is O(1) in num_hashes
+    and evaluates the shingle array once per row.  (Related trap, kept
+    from r3: ``F.transform`` passes the ARRAY INDEX as the second argument
+    to a two-parameter lambda, so a ``lambda s, i=i:`` closure form
+    silently replaces every seed with the element index.)
     """
+    from .hashing import seeded_hash_col
 
-    def _hash_with_seed(seed: int):
-        return lambda s: _seeded_hash(seed, s, hash_fn)
-
-    sh = shingles(text_col, shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, _hash_with_seed(i)))
-            for i in range(num_hashes)
-        ]
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    shdf = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("_sh")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    sig = F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(F.col("_sh"), lambda s: seeded_hash_col(i, s, hash_fn))
+        ),
+    )
+    return shdf.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -48,3 +48,31 @@ def seeded_hash(seed: int | str, col: Column, hash_fn: str = "xxhash64") -> Colu
             16, 10,
         ).cast("long")
     raise ValueError(f"hash_fn must be one of {HASH_FNS}, got {hash_fn!r}")
+
+
+def seeded_hash_col(seed: Column, col: Column, hash_fn: str = "xxhash64") -> Column:
+    """``seeded_hash`` with the seed itself a COLUMN — e.g. the lambda
+    variable of a ``transform`` over ``F.sequence(0, n-1)``, which lets a
+    family of n seeded hashes ride ONE expression instead of n stamped
+    copies (minhash signatures went from an O(num_hashes × shingle-expr)
+    tree that took seconds per 500 rows to an O(1) tree this way).
+
+    Value contract: identical to ``seeded_hash(i, col)`` for every int i —
+    ``F.sequence`` over int literals yields IntegerType elements, the same
+    type ``F.lit(int)`` produces, so xxhash64 (which hashes by input type)
+    agrees; the md5 family concatenates the seed's decimal string exactly
+    like the ``f"{seed}:"`` literal.  Equivalence is pinned in
+    tests/test_functions.py."""
+    if hash_fn == "xxhash64":
+        return F.when(
+            col.isNull(), F.lit(None).cast("long")
+        ).otherwise(F.xxhash64(seed, col))
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(seed.cast("string"), F.lit(":"), col.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+    raise ValueError(f"hash_fn must be one of {HASH_FNS}, got {hash_fn!r}")

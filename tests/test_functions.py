@@ -198,6 +198,40 @@ def test_minhash_md5_duckdb_twin(docs):
     assert got == oracle and got  # non-vacuous
 
 
+def test_seeded_hash_col_equals_literal_seed(docs):
+    """hashing.seeded_hash_col (seed as a transform lambda variable /
+    column) must agree with seeded_hash (seed as a python literal) for
+    every int seed in BOTH families — the value contract that lets minhash
+    signatures ride one sequence-transform instead of num_hashes stamped
+    expression copies (the r6 expression-shape fix)."""
+    from pyspark.sql import functions as F
+
+    from oplog_analyzer_spark.functions.hashing import seeded_hash, seeded_hash_col
+
+    def _by_col_seed(fam):
+        # one-parameter closure: a `lambda i, fam=fam:` form would count as
+        # two parameters and F.transform would bind the ARRAY INDEX to fam
+        return lambda i: seeded_hash_col(i, F.col("text"), fam)
+
+    lit_cols, col_cols = [], []
+    for fam in ("xxhash64", "md5"):
+        lit_cols.append(
+            F.array(*[seeded_hash(i, F.col("text"), fam) for i in range(8)])
+        )
+        col_cols.append(
+            F.transform(F.sequence(F.lit(0), F.lit(7)), _by_col_seed(fam))
+        )
+    mismatches = (
+        docs.select(
+            (lit_cols[0] == col_cols[0]).alias("xx"),
+            (lit_cols[1] == col_cols[1]).alias("md"),
+        )
+        .filter(~F.col("xx") | ~F.col("md"))
+        .count()
+    )
+    assert mismatches == 0
+
+
 def test_simhash_halves_duckdb_twin(docs):
     from oplog_analyzer_spark.entry_queries import _simhash_md5_oracle
 
@@ -453,6 +487,25 @@ def test_ngram_doc_freq_cap_sheds_only_hot_shingles(docs):
     assert loose == exact
 
 
+def test_ngram_default_is_finite_cap(docs):
+    """The DEFAULT max_doc_freq must be a finite cap (VERDICT r05: the
+    uncapped d²/2 form is the scale killer; None is the explicit opt-in),
+    and below the cap the default equals the uncapped-exact results."""
+    import inspect
+
+    sig = inspect.signature(D.ngram_jaccard_pairs)
+    assert sig.parameters["max_doc_freq"].default == 10_000
+    default_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None).collect()
+    }
+    assert default_pairs == uncapped  # no shingle reaches 10k docs here
+
+
 def test_lsh_multitable_multiprobe_improves_recall(spark):
     """Recall@1 vs brute force must improve (or at worst tie) when adding
     tables and hamming-1 probes — the levers against the single-table
@@ -510,6 +563,34 @@ def test_ivf_topk_recall_and_determinism(spark):
         for r in S.ivf_topk(df, k=1, n_centroids=16, nprobe=16).collect()
     }
     assert all(full[q] == nn for q, nn in truth.items())
+
+
+def test_emb_top1_nn_row_pins_ivf_recall_floor(spark):
+    """The emb_top1_nn driver row carries the IVF recall certification
+    (VERDICT r05 next-round #6): on the driver's sf0.01 corpus —
+    near-uniform random embeddings, the worst case for partition-based ANN
+    — the published ivf_topk answers under _ANN_IVF_CONF must reach the
+    documented floor, and ivf_hit must be exactly the cosine-based hit
+    indicator the oracle recomputes (sentinel misses score 0, never
+    NULL)."""
+    import shutil
+
+    from oplog_analyzer_spark.entry_queries import (
+        _ANN_RUN_ROOT,
+        _ANN_VERSION,
+        emb_top1_nn,
+    )
+    from tests.conftest import SF_ORACLE
+
+    shutil.rmtree(
+        f"{_ANN_RUN_ROOT}/sf0.01_{_ANN_VERSION}", ignore_errors=True
+    )  # force a fresh publish so the floor tests THIS code, not a stale run
+    rows = emb_top1_nn(spark, SF_ORACLE).collect()
+    assert len(rows) == 100
+    hits = sum(r["ivf_hit"] for r in rows)
+    assert hits >= 70  # measured 76/100 at n_centroids=16, nprobe=8 (deterministic)
+    for r in rows:
+        assert r["ivf_hit"] == int(r["ivf_cosine"] >= r["cosine"])
 
 
 def test_ivf_max_bucket_caps_hot_list(spark):
@@ -920,7 +1001,13 @@ def test_pack_sequences_auto_bucket_sizing(spark):
     rows = packed.collect()
     assert len(rows) == 500  # complete under auto sizing
     n_b = len({r["bucket"] for r in rows})
-    assert n_b == 10  # ceil(500 / 50)
+    assert n_b == 10  # ceil(500 / 50) > defaultParallelism (4 in tests)
+    # the derived count floors at defaultParallelism (ADVICE r05): a small
+    # input must not collapse to ONE serial applyInPandas task
+    tiny = P.pack_sequences(df, max_tokens=256, target_rows_per_bucket=1_000_000)
+    dp = spark.sparkContext.defaultParallelism
+    tiny_buckets = {r["bucket"] for r in tiny.collect()}
+    assert len(tiny_buckets) > 1 and max(tiny_buckets) < dp
     # explicit n_buckets past the bound → refuse (500 rows / 1 bucket
     # = 500 > 4 * 50)
     with _pytest.raises(ValueError, match="n_buckets"):
