@@ -38,6 +38,13 @@ QUERY_REV = {
     "a17_recommendations": 1,
     "tpch_q1": 1,
     "tpch_q3ish": 1,
+    # §2.11 dataset-ops family (VERDICT r05 next-round #5): first benched in
+    # r6, so each starts at rev 1 — the production xxhash64 forms, not the
+    # md5-certification twins
+    "dedup_exact": 1,
+    "dedup_minhash_lsh": 2,  # r6: + max_bucket=4096 hot-bucket cap
+    "sampling_split_counts": 1,
+    "sequence_packing": 1,
 }
 
 HEADLINE_QUERIES = [
@@ -53,6 +60,13 @@ HEADLINE_QUERIES = [
     "a17_recommendations",
     "tpch_q1",
     "tpch_q3ish",
+    # dataset-ops wall-time trail (exact dedup, minhash LSH with cap,
+    # hash-split + stratified quota, greedy packing) — the training-data
+    # family had no round-over-round bench coverage before r6
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sampling_split_counts",
+    "sequence_packing",
 ]
 
 

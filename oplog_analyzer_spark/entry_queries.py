@@ -810,27 +810,119 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN recall certification (VERDICT r05 next-round #6): the IVF
+#     candidate generation itself is xxhash64-seeded (no SQL twin), but its
+#     RECALL is oracle-able via the materialize-then-oracle pattern — the
+#     Spark side runs the shipped ivf_topk(k=1) once per (process, sf) and
+#     publishes its answers; the oracle recomputes brute-force top-1 in SQL
+#     and scores the SAME published answers.  Folded into the emb_top1_nn
+#     slot so the full 50-row driver window keeps every prior row. --------
+
+_ANN_RUN_ROOT = "/tmp/oplog_spark_ann_run"
+# bump when the IVF config under certification changes
+_ANN_VERSION = "v2"
+#: the IVF configuration under recall certification.  The driver testdata
+#: embeddings are near-uniform random — the worst case for any
+#: partition-based ANN (no cluster structure, so recall ≈ probed mass plus
+#: a small locality bonus: measured 49/100 at nprobe=4, 76/100 at
+#: nprobe=8 on sf0.01) — so the certified config probes half the lists;
+#: the recall FLOOR this delivers is pinned in tests/test_functions.py,
+#: and the structured-data recall behaviors (multiprobe/n_tables levers,
+#: nprobe=K degenerating to exact) are pytest-oracled separately.
+_ANN_IVF_CONF = dict(k=1, n_centroids=16, nprobe=8, max_bucket=4096)
+
+
+def _ivf_top1_published(spark: SparkSession, sf_dir: str) -> str:
+    """Run the shipped IVF ANN once per (process tree, sf) over the sf_dir
+    embeddings and atomically publish (q_id, ivf_nn_id, ivf_cosine) for
+    q_id < 100 — the _materialized_corpus publish pattern (write to a
+    process-unique tmp dir, os.rename into place, losers read the
+    winner's).  The path is keyed by the sf tag because the answers are a
+    function of the corpus; the oracle SQL statically reads the sf0.01
+    path, the only sf the driver compares at."""
+    import os
+    import shutil
+    import uuid
+
+    from .functions.similarity import ivf_topk
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    out = os.path.join(_ANN_RUN_ROOT, f"{tag}_{_ANN_VERSION}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    ivf = (
+        ivf_topk(load_table(spark, sf_dir, "embeddings"), **_ANN_IVF_CONF)
+        .filter(F.col("q_id") < 100)
+        .select(
+            "q_id",
+            F.col("c_id").alias("ivf_nn_id"),
+            F.col("cosine").alias("ivf_cosine"),
+        )
+    )
+    os.makedirs(_ANN_RUN_ROOT, exist_ok=True)
+    tmp = os.path.join(_ANN_RUN_ROOT, f".tmp-{os.getpid()}-{uuid.uuid4().hex}")
+    ivf.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, out)  # atomic publish; fails if a winner exists
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @_q(
     "emb_top1_nn",
-    """
-SELECT q_id, c_id AS nn_id, round(cosine, 4) AS cosine FROM (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                CAST(c.embedding AS DOUBLE[])) AS cosine,
-         row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                           CAST(c.embedding AS DOUBLE[])) DESC,
-                    c.vec_id ASC) AS rn
-  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-  WHERE q.vec_id < 100
-) WHERE rn = 1
+    f"""
+WITH brute AS (
+  SELECT q_id, c_id AS nn_id, round(cosine, 4) AS cosine FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS cosine,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) AS rn
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 100
+  ) WHERE rn = 1
+), ivf AS (
+  SELECT q_id, ivf_nn_id, ivf_cosine
+  FROM read_parquet('{_ANN_RUN_ROOT}/sf0.01_{_ANN_VERSION}/*.parquet')
+)
+SELECT b.q_id, b.nn_id, b.cosine,
+       coalesce(i.ivf_nn_id, -1) AS ivf_nn_id,
+       coalesce(i.ivf_cosine, -2.0) AS ivf_cosine,
+       CAST(CASE WHEN i.ivf_cosine >= b.cosine THEN 1 ELSE 0 END AS INT)
+         AS ivf_hit
+FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id
 """,
 )
 def emb_top1_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-1 baseline PLUS the IVF recall certification in one
+    driver row: per query, the brute-force answer (nn_id, cosine) and the
+    published ivf_topk(k=1) answer (ivf_nn_id, ivf_cosine) with ivf_hit =
+    (ivf reached the true top-1 cosine).  Hit is defined on the COSINE, not
+    the id, so exact-score ties inside vs outside the probed lists don't
+    flip it (both sides round to 4 dp; the published value is read verbatim
+    by query and oracle alike).  A query the IVF returned no candidate for
+    scores hit=0 via the (-1, -2.0) sentinels.  The recall floor itself is
+    pinned in tests/test_functions.py."""
     from .functions.similarity import top1_neighbor
 
-    return top1_neighbor(load_table(spark, sf_dir, "embeddings"), max_queries=100)
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = top1_neighbor(emb, max_queries=100)
+    ivf = spark.read.parquet(_ivf_top1_published(spark, sf_dir))
+    return brute.join(ivf, "q_id", "left").select(
+        "q_id",
+        "nn_id",
+        "cosine",
+        F.coalesce("ivf_nn_id", F.lit(-1)).alias("ivf_nn_id"),
+        F.coalesce("ivf_cosine", F.lit(-2.0)).alias("ivf_cosine"),
+        F.when(F.col("ivf_cosine") >= F.col("cosine"), 1)
+        .otherwise(0)  # NULL (no candidate) scores a miss, like the oracle
+        .cast("int")
+        .alias("ivf_hit"),
+    )
 
 
 @_q(
@@ -1889,9 +1981,14 @@ def packing_md5_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production minhash+LSH shape, bench headliner since r6: the
+    band-dependent hot-bucket cap rides along (the clone-flood guard every
+    100 TB caller needs), so the benched plan is the shipped posture."""
     from .functions.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_bucket=4096
+    )
 
 
 @_q("dedup_simhash")
