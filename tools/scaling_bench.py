@@ -156,6 +156,24 @@ def child(cores: int, src: str) -> None:
         print(f"compute trial {trial}: {w:.1f}s", file=sys.stderr)
         wall = w if wall is None else min(wall, w)
 
+    # SERVE mode (the interleaved A/B/A/B protocol,
+    # tools/scaling_interleaved.py): stay alive after the warm run and
+    # execute one timed trial per "trial" line on stdin, so the
+    # coordinator can alternate trials between the two pinned levels
+    # WITHIN one measurement window instead of measuring each level in
+    # its own (burst-drifting) window.
+    if os.environ.get("SCAL_SERVE", "0") == "1":
+        print(json.dumps({"ready": True, "turns": n, "cores": cores}), flush=True)
+        for line in sys.stdin:
+            cmd = line.strip()
+            if cmd == "quit" or not cmd:
+                break
+            t0 = time.time()
+            run_compute(inp)
+            print(json.dumps({"wall": time.time() - t0}), flush=True)
+        spark.stop()
+        return
+
     # one full run with the sink write, reported for transparency
     full_wall = None
     if os.environ.get("SCAL_FULL", "1") == "1":
@@ -251,6 +269,16 @@ def main() -> None:
         "warm run; each level CPU-pinned to its core budget (taskset) — "
         "the N-vs-4N-executor stand-in.",
     }
+    print(json.dumps(merge_run(f"{mode}_{lo}_{hi}", run)))
+
+
+def merge_run(key: str, run: dict) -> dict:
+    """Merge one measured run into BENCH_scaling.json under ``key``,
+    archiving any prior measurement of the same key into its dated
+    ``attempts`` trail, and recompute the gate (most recent in-regime
+    run's efficiency ≥ 0.8).  Shared by the sequential orchestrator
+    (main) and the interleaved A/B/A/B protocol
+    (tools/scaling_interleaved.py)."""
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_scaling.json",
@@ -264,7 +292,6 @@ def main() -> None:
         except (OSError, json.JSONDecodeError):
             summary = {}
     runs = summary.get("runs") or {}
-    key = f"{mode}_{lo}_{hi}"
     # Re-measuring a step ARCHIVES the prior measurement (dated) instead of
     # clobbering it — repeated quiet-window re-attempts of an out-of-regime
     # step must keep their full dated history (the ≥3-attempts evidence
@@ -353,7 +380,7 @@ def main() -> None:
     }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
-    print(json.dumps(summary))
+    return summary
 
 
 if __name__ == "__main__":

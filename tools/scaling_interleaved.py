@@ -1,0 +1,273 @@
+"""Interleaved, burst-calibrated two-level scaling measurement.
+
+The sequential protocol (tools/scaling_bench.py) measures each parallelism
+level in its own multi-minute window; on this shared host the granted
+per-core speed DRIFTS between windows (BENCH_scaling.json substrate_note),
+and in every round-5 window the host granted the pinned low-core child a
+>=1.35x per-core burst while capping the 16-core level at ~12-13 cores'
+worth of silicon — so a 4->16 step measured the host's allocation policy,
+not the engine.  This protocol (VERDICT r05 next-round #2) removes both
+confounds instead of waiting for a quiet window:
+
+  1. INTERLEAVE the levels A/B/B/A/A/B... within ONE window: two
+     persistent pinned children (SCAL_SERVE=1) each warm once, then the
+     coordinator alternates single timed trials between them, so every
+     low-level trial has a high-level trial seconds away under the same
+     host weather.  Alternating the order each pair cancels slow drift and
+     the JIT warm tail to first order.
+  2. CALIBRATE the substrate around every trial: immediately before each
+     trial, one fixed single-threaded numpy-matmul spin process per core
+     of that level's pinned set measures the silicon the host actually
+     grants that core-set width right then.  The spin aggregate is the
+     granted-silicon proxy: a real N->4N executor cluster multiplies
+     silicon by exactly 4, so the engine's scaling efficiency is
+         (thr_hi / thr_lo) / (spin_agg_hi / spin_agg_lo)
+     — the measured speedup divided by the silicon ratio the host actually
+     provided, instead of the nominal core ratio the host provably does
+     not provide across widths.  Raw (nominal-ratio) efficiency is
+     reported alongside; per-pair values and spin rates are all recorded.
+
+Caveat recorded with the run: the spin probe is a dense-compute proxy —
+it tracks the host's cycle allocation, not memory-bandwidth contention,
+which is why it is paired with the HEAVY (Python/Arrow-compute-dominated)
+workload whose in-regime behavior is core-bound (SCAL_HEAVY=1 default
+here).
+
+Usage:
+  SCAL_LEVELS=4,16 python tools/scaling_interleaved.py [n_turns]
+
+Env: SCAL_LEVELS (default 4,16), SCAL_PAIRS (default 4 measured pairs),
+SCAL_DISCARD_PAIRS (default 1 warm pair, recorded but not gated on),
+SCAL_HEAVY (default 1), SCAL_SRC (reuse a pre-generated corpus),
+SCAL_SPIN_SEC (default 2.5), SCAL_REGIME_NOTE (mark the merged run
+out-of-regime).  Merges into BENCH_scaling.json under
+``{mode}_{lo}_{hi}_interleaved`` via scaling_bench.merge_run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools import scaling_bench  # noqa: E402  (merge_run + child protocol)
+
+_SPIN_CODE = (
+    "import time, numpy as np\n"
+    "a = np.random.default_rng(0).standard_normal((192, 192))\n"
+    "deadline = time.perf_counter() + {dur}\n"
+    "n = 0\n"
+    "while time.perf_counter() < deadline:\n"
+    "    _ = a @ a\n"
+    "    n += 1\n"
+    "print(n / {dur})\n"
+)
+
+
+def spin_probe(cores: int, dur: float) -> dict:
+    """Granted-silicon probe: one single-threaded matmul spinner pinned to
+    EACH core of the level's core set (0..cores-1), all concurrent —
+    the same shape the pinned Spark child presents to the host scheduler.
+    Returns per-core rates + their aggregate (matmuls/sec)."""
+    env = dict(os.environ)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        env[var] = "1"
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(core), sys.executable, "-c",
+             _SPIN_CODE.format(dur=dur)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+        )
+        for core in range(cores)
+    ]
+    rates = []
+    for p in procs:
+        out, _ = p.communicate(timeout=dur * 10 + 30)
+        rates.append(float(out.strip().splitlines()[-1]))
+    return {
+        "rates": [round(r, 1) for r in rates],
+        "aggregate": round(sum(rates), 1),
+        "per_core_mean": round(sum(rates) / len(rates), 1),
+    }
+
+
+class ServeChild:
+    """A persistent pinned scaling_bench child in SCAL_SERVE mode: warm
+    once at start, then one timed trial per poke."""
+
+    def __init__(self, cores: int, src: str):
+        self.cores = cores
+        env = dict(os.environ)
+        env["SCAL_SERVE"] = "1"
+        self.proc = subprocess.Popen(
+            ["taskset", "-c", f"0-{cores - 1}", sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scaling_bench.py"),
+             "--child", str(cores), src],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=None,
+            text=True, env=env, bufsize=1,
+        )
+
+    def wait_ready(self) -> int:
+        for line in self.proc.stdout:
+            if line.startswith("{"):
+                msg = json.loads(line)
+                if msg.get("ready"):
+                    return int(msg["turns"])
+        raise RuntimeError(f"serve child {self.cores} died before ready")
+
+    def trial(self) -> float:
+        self.proc.stdin.write("trial\n")
+        self.proc.stdin.flush()
+        for line in self.proc.stdout:
+            if line.startswith("{"):
+                return float(json.loads(line)["wall"])
+        raise RuntimeError(f"serve child {self.cores} died mid-trial")
+
+    def stop(self) -> None:
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    levels = tuple(
+        int(x) for x in os.environ.get("SCAL_LEVELS", "4,16").split(",")
+    )
+    lo, hi = levels[0], levels[-1]
+    pairs = int(os.environ.get("SCAL_PAIRS", "4"))
+    discard = int(os.environ.get("SCAL_DISCARD_PAIRS", "1"))
+    spin_sec = float(os.environ.get("SCAL_SPIN_SEC", "2.5"))
+    os.environ.setdefault("SCAL_HEAVY", "1")
+    heavy = os.environ.get("SCAL_HEAVY") == "1"
+    mode = "heavy" if heavy else "light"
+
+    src = os.environ.get("SCAL_SRC", "")
+    reuse = bool(src) and os.path.isdir(src) and os.listdir(src)
+    if not reuse:
+        from oplog_analyzer_spark import transcripts as T
+        from oplog_analyzer_spark.session import get_spark
+
+        src = src or tempfile.mkdtemp(prefix="scal_src_")
+        spark = get_spark()
+        spark.sparkContext.setLogLevel("ERROR")
+        T.generate_transcripts(
+            spark, num_conversations=max(1, n_turns // 12)
+        ).write.mode("overwrite").parquet(src)
+        spark.stop()
+
+    child_lo = child_hi = None
+    try:
+        # sequential warm-up: concurrent warms would contend on cores 0-3
+        print(f"starting serve child local[{lo}] (warming)...", file=sys.stderr)
+        child_lo = ServeChild(lo, src)
+        turns = child_lo.wait_ready()
+        print(f"starting serve child local[{hi}] (warming)...", file=sys.stderr)
+        child_hi = ServeChild(hi, src)
+        turns = child_hi.wait_ready() or turns
+
+        children = {lo: child_lo, hi: child_hi}
+        trail = []
+        for i in range(discard + pairs):
+            order = (lo, hi) if i % 2 == 0 else (hi, lo)
+            rec = {"pair": i, "order": list(order), "discarded": i < discard}
+            for lvl in order:
+                rec[f"spin{lvl}"] = spin_probe(lvl, spin_sec)
+                rec[f"wall{lvl}"] = round(children[lvl].trial(), 2)
+            thr = {lvl: turns / rec[f"wall{lvl}"] for lvl in (lo, hi)}
+            rec["raw_eff"] = round((thr[hi] / thr[lo]) / (hi / lo), 3)
+            silicon_ratio = (
+                rec[f"spin{hi}"]["aggregate"] / rec[f"spin{lo}"]["aggregate"]
+            )
+            rec["silicon_ratio"] = round(silicon_ratio, 3)
+            rec["norm_eff"] = round((thr[hi] / thr[lo]) / silicon_ratio, 3)
+            trail.append(rec)
+            print(json.dumps(rec), file=sys.stderr)
+    finally:
+        for c in (child_lo, child_hi):
+            if c is not None:
+                c.stop()
+        if not os.environ.get("SCAL_SRC"):
+            shutil.rmtree(src, ignore_errors=True)
+
+    kept = [r for r in trail if not r["discarded"]]
+    med = lambda key: statistics.median(r[key] for r in kept)  # noqa: E731
+    med_wall = {lvl: med(f"wall{lvl}") for lvl in (lo, hi)}
+    thr = {lvl: turns / med_wall[lvl] for lvl in (lo, hi)}
+    raw_eff_windowed = (thr[hi] / thr[lo]) / (hi / lo)
+    norm_eff_median = med("norm_eff")
+
+    run = {
+        "mode": mode,
+        "protocol": "interleaved+spin-calibrated (see tools/scaling_interleaved.py)",
+        "workload": (
+            "parse incl. diff-stats pandas UDF → route → aggregate "
+            "(UDF output consumed in the aggregate)"
+            if heavy
+            else "parse (native regex) → route → aggregate (sketch distinct)"
+        ),
+        "turns": turns,
+        "levels": {
+            f"local{lvl}": {
+                "cores": lvl,
+                "wall_sec": round(med_wall[lvl], 2),
+                "turns_per_sec": round(thr[lvl], 1),
+                "spin_per_core_median": round(
+                    statistics.median(
+                        r[f"spin{lvl}"]["per_core_mean"] for r in kept
+                    ),
+                    1,
+                ),
+            }
+            for lvl in (lo, hi)
+        },
+        "speedup": round(thr[hi] / thr[lo], 3),
+        "parallelism_ratio": hi // lo,
+        "silicon_ratio_median": round(
+            statistics.median(r["silicon_ratio"] for r in kept), 3
+        ),
+        "scaling_efficiency": round(norm_eff_median, 3),
+        "scaling_efficiency_raw": round(raw_eff_windowed, 3),
+        "per_pair": trail,
+        "target": 0.8,
+        "pass": norm_eff_median >= 0.8,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "note": (
+            f"A/B interleaved within one window ({pairs} gated pairs + "
+            f"{discard} discarded warm pair(s), order alternating), one "
+            "persistent pinned JVM per level; scaling_efficiency = median "
+            "per-pair speedup normalized by the spin-probe silicon ratio "
+            "(granted-cycles proxy: one single-threaded numpy matmul "
+            "spinner per core of the level's pinned set, run immediately "
+            "before that trial), i.e. efficiency vs the silicon the host "
+            "ACTUALLY granted each width — the faithful stand-in for a "
+            "cluster that multiplies silicon by exactly the executor "
+            "ratio.  scaling_efficiency_raw is the uncalibrated "
+            "windowed-median ratio against the nominal core ratio.  "
+            "Caveat: the spin probe proxies cycle allocation, not memory "
+            "bandwidth; it is paired with the compute-dominated heavy "
+            "workload for that reason."
+        ),
+    }
+    note = os.environ.get("SCAL_REGIME_NOTE")
+    if note:
+        run["regime_note"] = note
+    summary = scaling_bench.merge_run(f"{mode}_{lo}_{hi}_interleaved", run)
+    print(json.dumps({k: summary[k] for k in ("evidence", "latest_in_regime", "pass")}))
+    print(json.dumps(run))
+
+
+if __name__ == "__main__":
+    main()
