@@ -212,16 +212,26 @@ def _run_continuous(tail, args) -> None:
         def stop_file_present() -> bool:
             return bool(args.stop_file) and os.path.exists(args.stop_file)
 
+        seen_batch, run_rows = -1, 0
         while q.isActive and not stop_requested["flag"] and not stop_file_present():
             time.sleep(0.2)
+            p = q.lastProgress
+            if p and p["batchId"] != seen_batch:
+                seen_batch = p["batchId"]
+                run_rows += p["numInputRows"]
             now = time.monotonic()
             if now - last_beat >= args.heartbeat_sec:
                 last_beat = now
-                p = q.lastProgress
+                # the reference's 30 s reporter prints entries processed +
+                # lag (TailCommand.java:750-763); rows here are this RUN's
+                # (the cumulative report spans resumes and prints at drain)
                 rows = p["numInputRows"] if p else 0
                 bid = p["batchId"] if p else "-"
-                print(f"heartbeat: batch={bid} rows_in_last_batch={rows}",
-                      flush=True)
+                print(
+                    f"heartbeat: batch={bid} rows_in_last_batch={rows} "
+                    f"rows_this_run={run_rows}",
+                    flush=True,
+                )
         print("stopping tail (graceful drain)...", flush=True)
         q.stop()
         q.awaitTermination()
