@@ -2021,6 +2021,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("emb_neardup_lsh")
+def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of emb_neardup_pairs: hyperplane-LSH bucket candidates →
+    exact cosine ≥ threshold (rows-only: xxhash/numpy plane signatures
+    have no SQL twin; zero-false-positive / recall / determinism / cap
+    invariants pytest-oracled in tests/test_functions.py).  Threshold 0.4
+    like the brute row so the driver testdata yields real rows."""
+    from .functions.dedup import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4, n_tables=4, multiprobe=True, max_bucket=4096,
+    )
+
+
 @_q("sampling_split_counts")
 def sampling_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test hash-split + per-stratum quota sample

@@ -491,6 +491,93 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    n_tables: int = 2,
+    multiprobe: bool = True,
+    max_bucket: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs AT SCALE: hyperplane-LSH bucket
+    candidates → exact cosine ≥ threshold — the scale path
+    :func:`embedding_neardup_pairs` (the brute-force baseline) quarantines
+    itself behind.  Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``,
+    each surviving pair exactly once; output feeds
+    :func:`cluster_dedup_keep` unchanged.
+
+    Shuffle profile: one posexplode to (vector × tables) rows, one join
+    keyed on hash-uniform (table, bucket) — never O(n²).  ZERO false
+    positives by construction (every candidate is exact-rechecked);
+    recall follows the lsh_bucket_topk levers — a true pair is missed
+    only if it splits in EVERY table, multiprobe also reaches every
+    hamming-1 bucket (symmetric, so probing one join side with the
+    ``id_a < id_b`` ordering loses nothing), and near-dup pairs
+    (cosine ≥ 0.9) disagree on any one hyperplane with low probability,
+    which is exactly the regime LSH is built for.  ``max_bucket`` caps a
+    degenerate bucket (embedding-identical floods) by deterministic hash
+    order, the same bounded-recall trade as minhash's cap.
+    """
+    from .similarity import _dot, lsh_signatures, make_planes, normalize
+
+    planes = make_planes(dim, n_tables * n_planes, seed)
+    sigs = lsh_signatures(normalize(df, vec_col), planes, id_col, vec_col, n_tables)
+
+    corpus = sigs.select(
+        F.col(id_col).alias("id"), F.posexplode("sigs").alias("table", "bucket")
+    )
+    if max_bucket is not None:
+        cap_w = Window.partitionBy("table", "bucket").orderBy(
+            F.xxhash64(F.lit(seed), "id")
+        )
+        corpus = (
+            corpus.withColumn("__r", F.row_number().over(cap_w))
+            .filter(F.col("__r") <= max_bucket)
+            .drop("__r")
+        )
+    probes = corpus
+    if multiprobe:
+        probes = corpus.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ],
+                )
+            ),
+        )
+    cand = (
+        probes.alias("x")
+        .join(
+            corpus.alias("y"),
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = normalize(df, vec_col).select(F.col(id_col).alias("id"), "v")
+    pairs = (
+        cand.join(vecs.withColumnRenamed("v", "va"), cand.id_a == F.col("id"))
+        .drop("id")
+        .join(vecs.withColumnRenamed("v", "vb"), cand.id_b == F.col("id"))
+        .drop("id")
+    )
+    return (
+        pairs.select("id_a", "id_b", _dot("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def cluster_dedup_keep(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
     """Resolve near-dup pairs into kept rows: treat id_a<id_b edges as
     "b duplicates a" and keep ids never appearing on the b side (one
