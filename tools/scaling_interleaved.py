@@ -99,6 +99,50 @@ def spin_probe(cores: int, dur: float) -> dict:
     }
 
 
+def summarize_trail(trail: list[dict], turns: int, lo: int, hi: int) -> dict:
+    """Pure summary of an interleaved trail (unit-tested in
+    tests/test_tools.py).
+
+    GATE estimator (``eff_gate``): spin-normalized median over
+    WEATHER-VALID pairs.  A pair is weather-valid if each level's wall is
+    within 2x the window's min wall for that level — a 10x wall seconds
+    away from a 1x wall on identical code is the substrate revoking the
+    width's silicon mid-window (observed: w16 7.7s -> 78-100s within one
+    run at stable w4), which no estimator should read as engine scaling.
+    On the surviving pairs the per-trial spin probes calibrate the burst
+    confound (narrow pinned sets get faster cores than wide ones on this
+    host; a real N->4N cluster gives both sizes identical silicon), so
+    the normalized ratio is efficiency vs the silicon actually granted
+    each width.  Min-based and raw-median efficiencies are computed
+    alongside; every pair stays in the trail either way."""
+    kept = [r for r in trail if not r["discarded"]]
+    med = lambda key: statistics.median(r[key] for r in kept)  # noqa: E731
+    med_wall = {lvl: med(f"wall{lvl}") for lvl in (lo, hi)}
+    thr = {lvl: turns / med_wall[lvl] for lvl in (lo, hi)}
+    min_wall = {lvl: min(r[f"wall{lvl}"] for r in kept) for lvl in (lo, hi)}
+    valid = [
+        r for r in kept
+        if r[f"wall{lo}"] <= 2 * min_wall[lo] and r[f"wall{hi}"] <= 2 * min_wall[hi]
+    ]
+    return {
+        "med_wall": med_wall,
+        "min_wall": min_wall,
+        "spin_per_core_median": {
+            lvl: statistics.median(r[f"spin{lvl}"]["per_core_mean"] for r in kept)
+            for lvl in (lo, hi)
+        },
+        "silicon_ratio_median": med("silicon_ratio"),
+        "raw_eff_windowed": (thr[hi] / thr[lo]) / (hi / lo),
+        "norm_eff_median": med("norm_eff"),
+        "eff_min": (min_wall[lo] / min_wall[hi]) / (hi / lo),
+        "n_valid": len(valid),
+        "n_rejected": len(kept) - len(valid),
+        "eff_gate": (
+            statistics.median(r["norm_eff"] for r in valid) if valid else 0.0
+        ),
+    }
+
+
 class ServeChild:
     """A persistent pinned scaling_bench child in SCAL_SERVE mode: warm
     once at start, then one timed trial per poke."""
@@ -202,33 +246,7 @@ def main() -> None:
         if not os.environ.get("SCAL_SRC"):
             shutil.rmtree(src, ignore_errors=True)
 
-    kept = [r for r in trail if not r["discarded"]]
-    med = lambda key: statistics.median(r[key] for r in kept)  # noqa: E731
-    med_wall = {lvl: med(f"wall{lvl}") for lvl in (lo, hi)}
-    thr = {lvl: turns / med_wall[lvl] for lvl in (lo, hi)}
-    raw_eff_windowed = (thr[hi] / thr[lo]) / (hi / lo)
-    norm_eff_median = med("norm_eff")
-    min_wall = {lvl: min(r[f"wall{lvl}"] for r in kept) for lvl in (lo, hi)}
-    eff_min = (min_wall[lo] / min_wall[hi]) / (hi / lo)
-    # GATE estimator: spin-normalized median over WEATHER-VALID pairs.
-    # A pair is weather-valid if each level's wall is within 2x the
-    # window's min wall for that level — a 10x wall seconds away from a
-    # 1x wall on identical code is the substrate revoking the width's
-    # silicon mid-window (observed: w16 7.7s -> 78-100s within one run at
-    # stable w4), which no estimator should read as engine scaling.  On
-    # the surviving pairs the per-trial spin probes calibrate the burst
-    # confound (narrow pinned sets get faster cores than wide ones on
-    # this host; a real N->4N cluster gives both sizes identical
-    # silicon), so the normalized ratio is efficiency vs the silicon
-    # actually granted each width.  Min-based and raw-median efficiencies
-    # are reported alongside; every pair stays in per_pair either way.
-    valid = [
-        r for r in kept
-        if r[f"wall{lo}"] <= 2 * min_wall[lo] and r[f"wall{hi}"] <= 2 * min_wall[hi]
-    ]
-    eff_gate = (
-        statistics.median(r["norm_eff"] for r in valid) if valid else 0.0
-    )
+    stats = summarize_trail(trail, turns, lo, hi)
 
     run = {
         "mode": mode,
@@ -243,32 +261,29 @@ def main() -> None:
         "levels": {
             f"local{lvl}": {
                 "cores": lvl,
-                "wall_sec": round(min_wall[lvl], 2),
-                "wall_sec_median": round(med_wall[lvl], 2),
-                "turns_per_sec": round(turns / min_wall[lvl], 1),
+                "wall_sec": round(stats["min_wall"][lvl], 2),
+                "wall_sec_median": round(stats["med_wall"][lvl], 2),
+                "turns_per_sec": round(turns / stats["min_wall"][lvl], 1),
                 "spin_per_core_median": round(
-                    statistics.median(
-                        r[f"spin{lvl}"]["per_core_mean"] for r in kept
-                    ),
-                    1,
+                    stats["spin_per_core_median"][lvl], 1
                 ),
             }
             for lvl in (lo, hi)
         },
-        "speedup": round(min_wall[lo] / min_wall[hi], 3),
+        "speedup": round(stats["min_wall"][lo] / stats["min_wall"][hi], 3),
         "parallelism_ratio": hi // lo,
-        "silicon_ratio_median": round(
-            statistics.median(r["silicon_ratio"] for r in kept), 3
+        "silicon_ratio_median": round(stats["silicon_ratio_median"], 3),
+        "scaling_efficiency": round(stats["eff_gate"], 3),
+        "weather_valid_pairs": stats["n_valid"],
+        "weather_rejected_pairs": stats["n_rejected"],
+        "scaling_efficiency_min_walls": round(stats["eff_min"], 3),
+        "scaling_efficiency_median_raw": round(stats["raw_eff_windowed"], 3),
+        "scaling_efficiency_median_spin_normalized": round(
+            stats["norm_eff_median"], 3
         ),
-        "scaling_efficiency": round(eff_gate, 3),
-        "weather_valid_pairs": len(valid),
-        "weather_rejected_pairs": len(kept) - len(valid),
-        "scaling_efficiency_min_walls": round(eff_min, 3),
-        "scaling_efficiency_median_raw": round(raw_eff_windowed, 3),
-        "scaling_efficiency_median_spin_normalized": round(norm_eff_median, 3),
         "per_pair": trail,
         "target": 0.8,
-        "pass": eff_gate >= 0.8,
+        "pass": stats["eff_gate"] >= 0.8,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "note": (
             f"A/B interleaved within one window ({pairs} gated pairs + "
