@@ -196,6 +196,51 @@ def lsh_bucket_topk(
     )
 
 
+def refine_centroids(
+    vecs: DataFrame,
+    cent_mat: np.ndarray,
+    iters: int = 1,
+) -> np.ndarray:
+    """Distributed Lloyd refinement of an IVF coarse quantizer: per
+    iteration, assign every vector to its nearest centroid (one numpy
+    matmul per Arrow batch — the ``ivf_topk`` closure pattern), then the
+    new centroid is the normalized elementwise mean of its members
+    (posexplode → one (cluster, dim-pos) shuffle → bounded K×dim
+    collect).  Empty clusters keep their previous centroid.
+
+    ``vecs`` must be (id, v) with v L2-normalized (``normalize``).
+    Refined means are rounded to 1e-9 so results are stable against
+    float partial-summation order for all but adversarial ties; runs
+    needing bit-for-bit reproducibility should keep the hash-seeded
+    centroids (iters=0 is never implied here — simply don't call this).
+    At production scale the per-iteration cost is one n×dim-row shuffle;
+    K×dim stays a few MB collected."""
+    for _ in range(max(iters, 0)):
+        mat = cent_mat
+
+        @pandas_udf(IntegerType())
+        def nearest(batch: pd.Series) -> pd.Series:
+            m = np.vstack(batch.to_numpy())
+            return pd.Series(np.argmax(m @ mat.T, axis=1).astype(np.int32))
+
+        means = (
+            vecs.select(nearest(F.col("v")).alias("c"), F.posexplode("v"))
+            .groupBy("c", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = cent_mat.copy()
+        sums: dict[int, np.ndarray] = {}
+        for r in means:
+            sums.setdefault(r["c"], np.zeros(cent_mat.shape[1]))[r["pos"]] = r["m"]
+        for c, v in sums.items():
+            norm = np.linalg.norm(v)
+            if norm > 0:
+                new[c] = np.round(v / norm, 9)
+        cent_mat = new
+    return cent_mat
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 5,
@@ -205,6 +250,7 @@ def ivf_topk(
     nprobe: int = 2,
     seed: int = 42,
     max_bucket: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the
     corpus into ``n_centroids`` inverted lists; each query probes only its
@@ -212,9 +258,12 @@ def ivf_topk(
     scale path next to ``lsh_bucket_topk``.
 
     Centroids are ``n_centroids`` corpus vectors chosen by deterministic
-    hash order (the k-means|| seeding step without refinement iterations —
-    deterministic and dependency-free; on a real cluster, plug KMeans
-    centroids into the same matrix unchanged).  The K×dim centroid matrix
+    hash order (the k-means|| seeding step — deterministic and
+    dependency-free); ``refine_iters > 0`` runs that many distributed
+    Lloyd iterations over them (:func:`refine_centroids` — one shuffle
+    per iteration, bounded K×dim collect) for tighter lists and higher
+    recall at the same nprobe, at the cost of bit-determinism only up to
+    float partial-summation order.  The K×dim centroid matrix
     is collected once (bounded, documented) and SHIPPED IN THE CLOSURE of
     one vectorized pandas UDF — list assignment and query probing are ONE
     numpy matmul per Arrow batch (the ``lsh_signatures`` pattern), so the
@@ -249,6 +298,11 @@ def ivf_topk(
     cent_rows = sorted(cent_rows, key=lambda r: int(r["cent_id"]))
     cent_mat = np.asarray([r["v"] for r in cent_rows], dtype=np.float64)  # (K, dim)
     cent_ids_arr = np.asarray([int(r["cent_id"]) for r in cent_rows], dtype=np.int64)
+    if refine_iters > 0:
+        # optional Lloyd refinement (refine_centroids): tighter lists →
+        # higher recall at the same nprobe; the cent_id labels stay the
+        # seed vectors' ids (list names are arbitrary)
+        cent_mat = refine_centroids(vecs, cent_mat, refine_iters)
     n_slots = min(max(nprobe, 1), len(cent_rows))
 
     @pandas_udf(ArrayType(LongType()))

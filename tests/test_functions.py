@@ -648,6 +648,38 @@ def test_emb_top1_nn_row_pins_ivf_recall_floor(spark):
         assert r["ivf_hit"] == int(r["ivf_cosine"] >= r["cosine"])
 
 
+def test_ivf_refinement_improves_recall(spark):
+    """Lloyd refinement (refine_iters) tightens the coarse quantizer: on
+    a clustered corpus, recall@1 at fixed nprobe must improve or tie vs
+    the hash-seeded centroids, and never regress below a useful floor."""
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((25, 64))
+    mat = np.vstack([c + 0.1 * rng.standard_normal((8, 64)) for c in centers])
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    truth = {
+        r["q_id"]: r["cosine"]
+        for r in S.top1_neighbor(df, max_queries=80).collect()
+    }
+
+    def recall(refine_iters: int) -> float:
+        got = {
+            r["q_id"]: r["cosine"]
+            for r in S.ivf_topk(
+                df, k=1, n_centroids=20, nprobe=2, refine_iters=refine_iters
+            ).collect()
+            if r["q_id"] in truth
+        }
+        return sum(
+            1 for q, c in truth.items() if got.get(q) == c
+        ) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0
+    assert r2 >= 0.8
+
+
 def test_ivf_max_bucket_caps_hot_list(spark):
     base = [1.0] + [0.0] * 63
     rows = [(i, base) for i in range(50)] + [
