@@ -6,7 +6,8 @@ surface).
 
   spark-submit --py-files dist/oplog_analyzer_spark.zip jobs/run_dataset.py \
     --input docs.parquet --output <dir> \
-    [--dedup exact|ngram|minhash|simhash] [--dedup-threshold 0.8] \
+    [--dedup exact|ngram|minhash|simhash] [--dedup-policy greedy|component_min] \
+    [--dedup-threshold 0.8] \
     [--minhash-hashes 32] [--minhash-bands 8] [--max-bucket N] \
     [--simhash-hamming 3] [--simhash-blocks 4] [--match-blocks 1] \
     [--quality-gate] \
@@ -48,6 +49,14 @@ def main() -> None:
         "--dedup", choices=["exact", "ngram", "minhash", "simhash"],
         help="dedup strategy; near-dup pairs resolve to a keep set via one "
         "anti-join (cluster_dedup_keep)",
+    )
+    ap.add_argument(
+        "--dedup-policy", choices=["greedy", "component_min"],
+        help="near-dup keep policy: greedy (default; keep ids never the "
+        "greater member of a pair — one anti-join) or component_min (keep "
+        "one representative per CONNECTED COMPONENT of the near-dup graph "
+        "— transitive, via the large-star/small-star loop in "
+        "functions/graph.py; the stricter policy for dense clone families)",
     )
     ap.add_argument("--dedup-threshold", type=float,
                     help="jaccard threshold for --dedup ngram|minhash "
@@ -101,6 +110,9 @@ def main() -> None:
         if getattr(args, flag.lstrip("-").replace("-", "_")) is not None and not ok:
             ap.error(f"{flag} only applies {why}")
 
+    _require("--dedup-policy", args.dedup in ("ngram", "minhash", "simhash"),
+             "with a near-dup strategy (--dedup ngram|minhash|simhash); "
+             "exact dedup has no pair graph to resolve")
     _require("--dedup-threshold", args.dedup in ("ngram", "minhash"),
              "with --dedup ngram|minhash (jaccard); simhash uses "
              "--simhash-hamming, exact has no threshold")
@@ -158,7 +170,8 @@ def main() -> None:
                 match_blocks=args.match_blocks or 1,
             )
         keep = D.cluster_dedup_keep(
-            pairs, df.select(F.col(args.id_col).alias("id"))
+            pairs, df.select(F.col(args.id_col).alias("id")),
+            policy=args.dedup_policy or "greedy",
         ).select(F.col("id").alias(args.id_col))
         df = df.join(keep, args.id_col, "left_semi")
     if args.dedup:

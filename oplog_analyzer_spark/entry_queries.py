@@ -2139,6 +2139,60 @@ def tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_cc_clusters",
+    r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), shing AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+), ex AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM shing
+), ex2 AS (
+  SELECT * FROM ex
+  WHERE s NOT IN (SELECT s FROM ex GROUP BY s HAVING count(*) > 64)
+), prs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS inter
+  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  WHERE inter >= (n_a + n_b - inter) * 0.5
+), sym AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+), reach(u, v) AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+""",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup cluster resolution (§2.11 scale path): the SAME
+    ngram-jaccard pair list as ``dedup_keep_set``, resolved into connected
+    components by the alternating large-star/small-star loop
+    (functions/graph.py — Kiveris et al., SoCC 2014), emitting every doc's
+    component-min cluster id (isolated docs label themselves).  The oracle
+    recomputes the components from first principles as a recursive-CTE
+    transitive closure + min-reachable — so the ENTIRE iterative algorithm,
+    not just the pair list, is certified row-by-row."""
+    from .functions.dedup import ngram_jaccard_pairs
+    from .functions.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64)
+    return dedup_clusters(
+        pairs, docs.select(F.col("doc_id").alias("id"))
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -578,10 +578,35 @@ def embedding_neardup_lsh(
     )
 
 
-def cluster_dedup_keep(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
-    """Resolve near-dup pairs into kept rows: treat id_a<id_b edges as
-    "b duplicates a" and keep ids never appearing on the b side (one
-    anti-join; a union-find would chase chains, rarely needed for dedup).
+def cluster_dedup_keep(
+    pairs: DataFrame, all_ids: DataFrame, policy: str = "greedy"
+) -> DataFrame:
+    """Resolve near-dup pairs into the kept-id set.
+
+    ``policy="greedy"`` (default, SQL-oracled in the ``dedup_keep_set``
+    row): treat id_a<id_b edges as "b duplicates a" and keep ids never
+    appearing on the b side — ONE anti-join, no iteration.  In a chain
+    a—b—c this drops both b and c (conservative: may drop a doc whose only
+    near-dup was itself dropped).
+
+    ``policy="component_min"``: keep exactly one representative (the
+    minimum id) per CONNECTED COMPONENT of the near-dup graph — the
+    transitive policy, via the alternating large-star/small-star component
+    loop in :mod:`functions.graph` (O(log² n) rounds, each two id-keyed
+    shuffles).  In the same chain it keeps a and drops b, c; for
+    non-adjacent docs that merely share a dropped neighbor — edges (a,c),
+    (b,c) with a<b — it keeps ONLY a where greedy keeps a and b, so
+    component_min is the stricter dedup when clusters are dense families
+    (mirror farms) and greedy is exact when pairs really are pairwise.
     """
-    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
-    return all_ids.join(dropped, "id", "left_anti")
+    if policy == "greedy":
+        dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+        return all_ids.join(dropped, "id", "left_anti")
+    if policy == "component_min":
+        from .graph import dedup_clusters
+
+        clusters = dedup_clusters(pairs, all_ids)
+        return clusters.filter(F.col("id") == F.col("cluster_id")).select("id")
+    raise ValueError(
+        f"policy must be 'greedy' or 'component_min', got {policy!r}"
+    )

@@ -1,0 +1,207 @@
+"""Distributed connected components — transitive near-dup cluster resolution.
+
+The greedy anti-join in :func:`functions.dedup.cluster_dedup_keep` keeps
+every doc that is not a near-duplicate of ANY smaller-id doc — one shuffle,
+no iteration, and the SQL-oracled default policy.  Its documented gap is
+transitivity: in a chain a—b—c (a<b<c, no a—c edge) it drops BOTH b and c,
+while a per-cluster policy keeps exactly one representative per connected
+component (and b—c may not even be near-dups of a, only of each other's
+neighbor).  At web scale — clone families spanning mirror sites, template
+farms — component resolution is the standard finishing step over the
+near-dup pair list, and the scalable algorithm is alternating
+large-star / small-star (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond", ACM SoCC 2014).
+
+Why not min-label propagation?  Propagation needs O(diameter) rounds, and a
+near-dup graph built from band buckets can chain mirror copies into long
+paths.  Large-star hangs every node's strictly-larger neighbors directly
+off its neighborhood minimum, (at least) halving path lengths per round, so
+the alternation converges in O(log² n) rounds on ANY graph shape.
+
+Spark mechanics that matter at 10⁹ nodes:
+
+* every round is two (groupBy-min + join) passes keyed on the node id —
+  hash-uniform shuffles, no self-join on the full edge list; a celebrity
+  hub is defused by large-star itself (its whole neighborhood collapses
+  onto the component min in one round, so the hot key carries data for one
+  round, not per-iteration);
+* ``localCheckpoint(eager=True)`` after every round truncates lineage —
+  without it the logical plan doubles per iteration and the driver chokes
+  compiling round ~15 (the classic iterative-DataFrame failure mode);
+* convergence is detected with one cheap fingerprint aggregate per round
+  (edge count + sum of xxhash64 over the canonical edge set — the set is
+  ``distinct``-ed, so multiset collisions don't arise) instead of an
+  ``exceptAll`` diff, which would cost a full extra shuffle per round.
+
+Reference anchors (semantics being extended, not copied):
+TailCommand.java's dedup has no transitive mode — this module is part of
+the §2.11 training-data family, beyond-reference by design (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """(u, v) with u > v, self-loops dropped, deduped — the edge-set form
+    both star operations preserve."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
+    Output stays canonical (emitted (v, m) always has v > u ≥ m)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u itself) to
+    min(N(u) ∪ {u}).  Requires canonical input (u > v, so N(u) ⊂ [0, u));
+    output is canonical."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selflink = mins.select("u", F.col("m").alias("v"))
+    return (
+        relink.union(selflink)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Component labels for every node appearing in ``edges``: returns
+    ``(id, component)`` where ``component`` is the component's minimum
+    node id (its canonical representative), with one row per non-isolated
+    node INCLUDING the representatives themselves.
+
+    Alternates large-star/small-star until the canonical edge set's
+    fingerprint is stable — at the alternation's fixpoint the edge set is
+    exactly the union of stars (u → component-min), which IS the label
+    assignment.  Raises after ``max_iter`` rounds rather than returning a
+    partially-contracted labeling (silent under-merging would ship
+    duplicates into a training set); the bound is generous — the paper
+    gives O(log² n) rounds, and real near-dup graphs converge in < 10.
+
+    Ids may be any orderable type (long doc ids, string conv ids);
+    "minimum" follows Spark's ordering for the type.
+    """
+    e = _canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+
+    prev_fp = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        fp = (row["n"], row["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(paper bound is O(log² n) — raise max_iter only if the edge "
+            "list is astronomically chained)"
+        )
+
+    leaves = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    centers = e.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    return leaves.union(centers).distinct()
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+) -> DataFrame:
+    """Assign every id its near-dup cluster representative: ``(id,
+    cluster_id)`` over ALL ids — isolated docs (no near-dup pair) are their
+    own cluster.  One broadcast-free left join after the component loop;
+    the join key is the id itself, so it co-partitions with any downstream
+    id-keyed work."""
+    labels = connected_components(pairs, src=src, dst=dst)
+    return (
+        all_ids.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("cluster_id")
+        )
+    )
+
+
+def cluster_keep_best(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Keep the highest-scoring doc per near-dup cluster — the policy real
+    training pipelines want (min-id keeps an ARBITRARY family member;
+    keep-best keeps the longest / cleanest / highest-quality one, e.g.
+    ``score = n_tokens`` or a composite from textstats.quality_score).
+
+    ``clusters`` is ``dedup_clusters`` output; ``scored`` carries
+    ``(id_col, score_col)``.  Returns the kept ``(id, cluster_id, score)``
+    rows, one per cluster.  Ties break on the smaller id, so the result is
+    deterministic.  Plan: one id-keyed join (co-partitioned with the
+    cluster labels) + one window ranked on (cluster_id) — a single extra
+    shuffle over the min-id policy, still nothing O(n²)."""
+    from pyspark.sql import Window
+
+    joined = clusters.join(
+        scored.select(F.col(id_col).alias("id"), F.col(score_col).alias("score")),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        joined.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
+def cluster_size_stats(clusters: DataFrame) -> DataFrame:
+    """Corpus-quality report over ``dedup_clusters`` output: for each
+    cluster size, how many clusters and how many docs — the standard
+    "how duplicated is this crawl" histogram (size-1 rows = unique docs).
+    Two map-side-combinable aggregations, nothing else."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

@@ -1169,3 +1169,151 @@ def test_stratified_fraction_broadcast_path_guards(spark):
         )
     # the clean 80-stratum map still works (broadcast path)
     assert SP.stratified_sample_fraction(df, ["g"], big_map).count() > 0
+
+
+# --- connected components / transitive cluster resolution (functions/graph) -
+
+
+def _uf_components(n_ids, edges):
+    """Pure-Python union-find reference: id -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _cc_spark(spark, edges):
+    from oplog_analyzer_spark.functions import graph as G
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["id"]: r["component"] for r in G.connected_components(df).collect()
+    }
+
+
+def test_connected_components_shapes(spark):
+    """Chain, ring, two components, duplicate + reversed edges, self-loop:
+    labels equal the union-find reference exactly (component = min id),
+    and every NON-isolated node — representatives included — gets a row."""
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (4, 5)],                  # chain
+        [(1, 2), (2, 3), (3, 1)],                          # ring
+        [(1, 2), (3, 4)],                                  # two comps
+        [(1, 2), (2, 1), (1, 2), (7, 7)],                  # dup/rev/self
+        [(10, 2), (2, 30), (30, 4), (5, 4), (100, 5)],     # zigzag ids
+    ]
+    for edges in cases:
+        got = _cc_spark(spark, edges)
+        want = _uf_components(None, [(a, b) for a, b in edges if a != b])
+        assert got == want, edges
+
+
+def test_connected_components_fuzz_vs_union_find(spark):
+    """Seeded random graphs (the hypothesis-style fuzz, deterministic so CI
+    is stable): 3 graphs x 120 nodes, edge density around the percolation
+    threshold so both giant components and many singletons occur."""
+    import random
+
+    rng = random.Random(1234)
+    for density in (0.4, 1.0, 2.5):
+        n = 120
+        m = int(n * density)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _cc_spark(spark, edges)
+        assert got == _uf_components(n, edges)
+
+
+def test_connected_components_string_ids_and_empty(spark):
+    from oplog_analyzer_spark.functions import graph as G
+
+    df = spark.createDataFrame(
+        [("conv_b", "conv_a"), ("conv_c", "conv_b")], "id_a string, id_b string"
+    )
+    got = {r["id"]: r["component"] for r in G.connected_components(df).collect()}
+    assert got == {"conv_a": "conv_a", "conv_b": "conv_a", "conv_c": "conv_a"}
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert G.connected_components(empty).count() == 0
+
+
+def test_dedup_clusters_and_size_stats(spark):
+    from oplog_analyzer_spark.functions import graph as G
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    clusters = G.dedup_clusters(pairs, ids)
+    got = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    # isolated docs 3 and 6 are their own cluster
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+    stats = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in G.cluster_size_stats(clusters).collect()
+    }
+    assert stats == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+
+
+def test_cluster_dedup_keep_policies(spark):
+    """The documented greedy-vs-component_min divergence cases:
+
+    * chain 0-1, 1-2: greedy drops both 1 and 2 (each is some pair's
+      b side); component_min keeps only the component min 0 — same here.
+    * shared-neighbor 0-2, 1-2 (0 and 1 NOT near-dups): greedy keeps
+      0 AND 1; component_min collapses the component to just 0.
+    """
+    ids = spark.createDataFrame([(i,) for i in range(3)], "id long")
+
+    chain = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    assert sorted(
+        r["id"] for r in D.cluster_dedup_keep(chain, ids, "greedy").collect()
+    ) == [0]
+    assert sorted(
+        r["id"]
+        for r in D.cluster_dedup_keep(chain, ids, "component_min").collect()
+    ) == [0]
+
+    shared = spark.createDataFrame([(0, 2), (1, 2)], "id_a long, id_b long")
+    assert sorted(
+        r["id"] for r in D.cluster_dedup_keep(shared, ids, "greedy").collect()
+    ) == [0, 1]
+    assert sorted(
+        r["id"]
+        for r in D.cluster_dedup_keep(shared, ids, "component_min").collect()
+    ) == [0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="policy"):
+        D.cluster_dedup_keep(chain, ids, "nope")
+
+
+def test_cluster_keep_best(spark):
+    """Keep-best-per-cluster: highest score wins, ties break on smaller id,
+    isolated docs always survive (they are their own cluster)."""
+    from oplog_analyzer_spark.functions import graph as G
+
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    clusters = G.dedup_clusters(pairs, ids)
+    scored = spark.createDataFrame(
+        [(0, 10), (1, 99), (2, 99), (3, 1)], "id long, score long"
+    )
+    kept = {r["id"]: r["cluster_id"] for r in
+            G.cluster_keep_best(clusters, scored).collect()}
+    # cluster {0,1,2}: 1 and 2 tie at 99 -> smaller id 1 wins; isolated 3 kept
+    assert kept == {1: 0, 3: 3}

@@ -397,6 +397,8 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--dedup", "simhash", "--dedup-threshold", "0.8"],   # jaccard knob
         ["--dedup", "simhash", "--max-bucket", "100"],
         ["--dedup", "exact", "--dedup-threshold", "0.8"],
+        ["--dedup", "exact", "--dedup-policy", "component_min"],  # no pair graph
+        ["--dedup-policy", "greedy"],                             # no --dedup
         ["--dedup", "ngram", "--minhash-hashes", "16"],
         ["--dedup", "minhash", "--simhash-hamming", "2"],
         ["--simhash-blocks", "8"],                            # no --dedup at all
@@ -423,6 +425,8 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
         ["--dedup", "simhash", "--simhash-hamming", "3",
          "--simhash-blocks", "8", "--match-blocks", "5"],
         ["--dedup", "ngram", "--dedup-threshold", "0.9"],
+        ["--dedup", "ngram", "--dedup-threshold", "0.5",
+         "--dedup-policy", "component_min"],
         ["--pack", "64", "--pack-buckets", "4"],
     ]
     for i, extra in enumerate(cases):
@@ -433,5 +437,5 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
         assert summary["rows_in"] == 40
         assert spark.read.parquet(out).count() >= 1
     # explicit --pack-buckets pins bucket ids under the given count
-    packed = spark.read.parquet(str(tmp_path / "out_ok_3"))
+    packed = spark.read.parquet(str(tmp_path / "out_ok_4"))
     assert packed.agg({"bucket": "max"}).collect()[0][0] < 4
