@@ -45,6 +45,11 @@ QUERY_REV = {
     "dedup_minhash_lsh": 2,  # r6: + max_bucket=4096 hot-bucket cap
     "sampling_split_counts": 1,
     "sequence_packing": 1,
+    # r6 additions: transitive CC dedup clusters (the iterative
+    # large-star/small-star loop over the capped ngram pair graph) and
+    # benchmark decontamination (broadcast gram semi-join)
+    "dedup_cc_clusters": 1,
+    "decontam_report": 1,
 }
 
 HEADLINE_QUERIES = [
@@ -67,6 +72,8 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "sampling_split_counts",
     "sequence_packing",
+    "dedup_cc_clusters",
+    "decontam_report",
 ]
 
 

@@ -777,6 +777,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 SELECT doc_id,
        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+            AS BIGINT) AS n_bpe_tokens,
        CAST(strlen(text) AS BIGINT) AS n_chars,
        CAST(strlen(text) - strlen(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS n_punct,
        CAST(floor(strlen(regexp_replace(trim(text), '\s+', '', 'g')) * 100.0
@@ -800,13 +803,20 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver row (the four textstats operators compose on one scan; merged
     so all 50 oracled queries fit inside the driver's 50-row harness cap
     — r02 ran exactly the first 50 registered queries)."""
-    from .functions.textstats import fingerprint, language_id, quality_score, token_count
+    from .functions.textstats import (
+        bpe_token_count,
+        fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    out = fingerprint(language_id(quality_score(token_count(docs))))
+    out = bpe_token_count(fingerprint(language_id(quality_score(token_count(docs)))))
     return out.select(
-        "doc_id", "n_tokens", "n_chars", "n_punct", "mean_token_len_x100",
-        "en_hits", "fr_hits", "lang_guess", "fingerprint",
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_chars", "n_punct",
+        "mean_token_len_x100", "en_hits", "fr_hits", "lang_guess",
+        "fingerprint",
     )
 
 
@@ -2191,6 +2201,342 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(
         pairs, docs.select(F.col("doc_id").alias("id"))
     ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@_q(
+    "decontam_report",
+    r"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), shing AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS gram FROM shing WHERE id % 17 = 3
+), ex AS (
+  SELECT id, len(sh) AS total_grams, unnest(sh) AS gram FROM shing
+  WHERE id % 17 <> 3
+)
+SELECT ex.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS hit_grams,
+       CAST(total_grams AS BIGINT) AS total_grams
+FROM ex JOIN bench USING (gram)
+GROUP BY ex.id, total_grams
+""",
+)
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (§2.11): treat every 17th doc as the
+    held-out eval set and report each remaining training doc that shares a
+    word trigram with it — (doc_id, hit_grams, total_grams).  The Spark
+    plan broadcast-joins the corpus gram stream against the (tiny) distinct
+    benchmark-gram set and aggregates only the hits; the oracle recomputes
+    the same overlap from first principles."""
+    from .functions.decontam import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 3)
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    rep = contamination_report(train, bench, n=3, min_hits=1)
+    return rep.select(
+        "doc_id",
+        F.col("hit_grams").cast("long").alias("hit_grams"),
+        F.col("total_grams").cast("long").alias("total_grams"),
+    )
+
+
+@_q(
+    "gopher_repetition",
+    r"""
+WITH toks AS (
+  SELECT doc_id AS id, text, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+), base AS (
+  SELECT id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(floor((len(t) - len(list_distinct(t))) * 10000.0
+              / greatest(len(t), 1)) AS BIGINT) AS dup_token_frac_x10000,
+         CAST(floor((len(string_split_regex(text, '\n'))
+               - len(list_distinct(string_split_regex(text, '\n')))) * 10000.0
+              / greatest(len(string_split_regex(text, '\n')), 1)) AS BIGINT)
+           AS dup_line_frac_x10000,
+         CASE WHEN len(t) >= 2
+              THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+              ELSE [array_to_string(t, ' ')] END AS grams
+  FROM toks
+), ex AS (
+  SELECT id, n_tokens, dup_token_frac_x10000, dup_line_frac_x10000,
+         unnest(grams) AS gram
+  FROM base
+), per_gram AS (
+  SELECT id, n_tokens, dup_token_frac_x10000, dup_line_frac_x10000, gram,
+         count(*) AS cnt
+  FROM ex GROUP BY 1, 2, 3, 4, 5
+)
+SELECT id AS doc_id, n_tokens, dup_token_frac_x10000, dup_line_frac_x10000,
+       CAST(floor(max(cnt) * 10000.0 / sum(cnt)) AS BIGINT)
+         AS top_ngram_frac_x10000
+FROM per_gram GROUP BY 1, 2, 3, 4
+""",
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition features (Gopher-style, §2.11):
+    duplicate-token fraction, duplicate-line fraction (both pure codegen)
+    and the top-bigram fraction (explode → two map-side-combinable
+    aggregations keyed on doc_id).  The oracle rebuilds the bigram multiset
+    and the mode from first principles."""
+    from .functions.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, id_col="doc_id", text_col="text", n=2).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_token_frac_x10000",
+        "dup_line_frac_x10000",
+        "top_ngram_frac_x10000",
+    )
+
+
+@_q(
+    "pii_redaction",
+    r"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || doc_id || '@example.com from 10.'
+                || (doc_id % 200) || '.0.1 call 555-867-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS text2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text2,
+            '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text2,
+            '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text2,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+            '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM seeded
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (§2.11): emails / IPv4 / phone numbers replaced by
+    typed tokens with per-type counts, all in one codegen projection.  The
+    synthetic corpus carries no real PII, so BOTH sides first append a
+    deterministic constructed contact line to every 5th doc (same
+    expression in Spark and the oracle) — the row then certifies the
+    pattern set, the replacement chain order, and the counts, not just
+    vacuous zeros."""
+    from .functions.textstats import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.1 call 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    red = redact_pii(seeded, text_col="text2", out_col="text_redacted")
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+@_q(
+    "dedup_keep_best",
+    r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), shing AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+), ex AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM shing
+), ex2 AS (
+  SELECT * FROM ex
+  WHERE s NOT IN (SELECT s FROM ex GROUP BY s HAVING count(*) > 64)
+), prs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS inter
+  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  WHERE inter >= (n_a + n_b - inter) * 0.5
+), sym AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+), reach(u, v) AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), clusters AS (
+  SELECT u AS id, min(v) AS cluster_id FROM reach GROUP BY u
+), scored AS (
+  SELECT c.id, c.cluster_id, len(string_split_regex(trim(d.text), '\s+')) AS score
+  FROM clusters c JOIN documents d ON c.id = d.doc_id
+)
+SELECT id AS doc_id, cluster_id, CAST(score AS BIGINT) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY score DESC, id ASC) = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster resolution (§2.11): the SAME connected
+    components as ``dedup_cc_clusters``, but keeping each cluster's
+    highest-token-count member (ties → smaller id) instead of the min id —
+    the policy real training pipelines want (keep the longest / cleanest
+    family member).  The oracle replays components via the recursive-CTE
+    closure and the keep choice via a window, so the iterative loop AND the
+    ranked policy are certified together."""
+    from .functions.dedup import ngram_jaccard_pairs
+    from .functions.graph import cluster_keep_best, dedup_clusters
+    from .functions.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64)
+    clusters = dedup_clusters(pairs, docs.select(F.col("doc_id").alias("id")))
+    scored = docs.select(
+        F.col("doc_id").alias("id"), F.size(tokens("text")).alias("score")
+    )
+    kept = cluster_keep_best(clusters, scored)
+    return kept.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+@_q(
+    "dedup_cluster_sizes",
+    r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), shing AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+), ex AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM shing
+), ex2 AS (
+  SELECT * FROM ex
+  WHERE s NOT IN (SELECT s FROM ex GROUP BY s HAVING count(*) > 64)
+), prs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS inter
+  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  WHERE inter >= (n_a + n_b - inter) * 0.5
+), sym AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+), reach(u, v) AS (
+  SELECT doc_id AS u, doc_id AS v FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), clusters AS (
+  SELECT u AS id, min(v) AS cluster_id FROM reach GROUP BY u
+), sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+""",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "how duplicated is this crawl" histogram (§2.11): per cluster
+    size, how many near-dup clusters and docs — over the SAME connected
+    components as ``dedup_cc_clusters`` (size-1 rows = unique docs).  The
+    oracle replays the transitive closure and both aggregations."""
+    from .functions.dedup import ngram_jaccard_pairs
+    from .functions.graph import cluster_size_stats, dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=64)
+    clusters = dedup_clusters(pairs, docs.select(F.col("doc_id").alias("id")))
+    return cluster_size_stats(clusters).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+@_q(
+    "domain_mixture",
+    r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents
+), w(source, wt) AS (
+  VALUES ('src0', 5), ('src1', 3), ('src2', 1), ('src3', 1)
+), tot AS (
+  SELECT source, CAST(sum(n) AS HUGEINT) AS toks FROM tok GROUP BY source
+), tw AS (
+  SELECT w.source, w.wt, tot.toks FROM w JOIN tot USING (source)
+), thr AS (
+  SELECT d.source,
+         min((CAST(1000000 AS HUGEINT) * d.wt * e.toks)
+             // (e.wt * d.toks)) AS thresh
+  FROM tw d, tw e
+  GROUP BY d.source
+)
+SELECT t.doc_id, t.source
+FROM tok t JOIN thr USING (source)
+WHERE CAST(('0x' || substr(md5('77:' || CAST(t.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000 < thresh
+""",
+)
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (§2.11 data mixing): keep each source's
+    share of TOKENS at 5:3:1:1 (unlisted sources dropped, no upsampling).
+    Thresholds are integer-exact — min_e floor(B·w_d·T_e/(w_e·T_d)), pure
+    int arithmetic on both sides (Python ints / HUGEINT), so the oracle
+    reproduces the two-pass plan (token totals → hash-threshold filter)
+    bit-for-bit in md5 mode."""
+    from .functions.sampling import domain_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = domain_mixture_sample(
+        docs, "source",
+        {"src0": 5, "src1": 3, "src2": 1, "src3": 1},
+        id_col="doc_id", seed=77, hash_fn="md5",
+    )
+    return kept.select("doc_id", "source")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

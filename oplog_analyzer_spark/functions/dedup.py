@@ -120,10 +120,18 @@ def ngram_jaccard_pairs(
     accident); pass ``max_doc_freq=None`` explicitly for the oracle-exact
     uncapped form on corpora known to carry no stop-shingles.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.size(shingles(text_col, n)).alias("n_sh"),
-        F.explode(shingles(text_col, n)).alias("sh"),
+    # Build the shingle array ONCE in its own projection, then explode_outer
+    # + null-filter: plain explode makes InferFiltersFromGenerate stamp the
+    # whole higher-order shingle build into an inferred pre-filter
+    # (size(expr)>0 AND isnotnull(expr)) that survives project-collapsing —
+    # measured 2.4-5x on the shingle operators at sf0.1.  explode_outer is
+    # exempt from the rule; the isNotNull on the GENERATED column restores
+    # exactly plain-explode row semantics (only null-text rows differ, and
+    # both forms drop them).
+    sh = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("__sh"))
+        .select("id", F.size("__sh").alias("n_sh"), F.explode_outer("__sh").alias("sh"))
+        .filter(F.col("sh").isNotNull())
     )
     if max_doc_freq is not None:
         hot = (

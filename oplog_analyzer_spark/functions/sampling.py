@@ -216,3 +216,101 @@ def stratified_sample_quota(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def domain_mixture_thresholds(
+    token_totals: dict, weights: dict, buckets: int = _BUCKETS
+) -> dict:
+    """Integer-exact per-domain hash thresholds realizing a target TOKEN
+    mixture without upsampling.
+
+    Given per-domain token totals T_d and integer mixture shares w_d, the
+    largest achievable corpus keeps fraction f_d = (w_d / T_d) ·
+    min_e(T_e / w_e) of each domain (the binding domain — smallest
+    tokens-per-share — keeps everything; every other domain is thinned to
+    hold the ratio).  Because floor is monotone it commutes with min, so
+
+        thresh_d = min_e floor( buckets · w_d · T_e / (w_e · T_d) )
+
+    — pure integer arithmetic end to end (Python ints here, HUGEINT in the
+    SQL twin), no binding-domain argmax with float tie-breaking, and the
+    e = d term pins the binding domain to exactly ``buckets``.
+
+    Domains in ``weights`` but absent (or zero-token) in the data raise —
+    a silent 0 would make every OTHER domain's target collapse to zero.
+    Domains in the data but not in ``weights`` are dropped by the sampler,
+    matching stratified_sample_fraction's unlisted-stratum contract.
+    """
+    missing = [d for d in weights if not token_totals.get(d)]
+    if missing:
+        raise ValueError(
+            f"domains {missing} have no tokens in the corpus — a zero "
+            "total would zero out every other domain's target; drop them "
+            "from the mixture or fix the corpus"
+        )
+    bad = {d: w for d, w in weights.items() if not isinstance(w, int) or w <= 0}
+    if bad:
+        raise ValueError(
+            f"mixture shares must be positive ints (exactness contract), "
+            f"got {bad}"
+        )
+    return {
+        d: min(
+            (buckets * weights[d] * token_totals[e]) // (weights[e] * token_totals[d])
+            for e in weights
+        )
+        for d in weights
+    }
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Sample the corpus so each domain contributes its ``weights`` share
+    of TOKENS — the data-mixing step of a training pipeline ("50 shares
+    web, 30 books, 20 code"), downsampling only.
+
+    Two passes by nature (the mixture depends on global totals):
+
+      pass 1  per-domain token totals — one map-side-combinable aggregate,
+              result is #domains rows (dozens), collected to the driver
+              for EXACT integer threshold arithmetic
+              (:func:`domain_mixture_thresholds`; a decimal-division plan
+              would risk Spark's scale-38 truncation at 100 TB products);
+      pass 2  hash-threshold filter, same narrow codegen map as
+              stratified_sample_fraction (rows never migrate between
+              reruns; nested-sample property holds per domain).
+
+    Cache ``df`` when the upstream is expensive — both passes read it.
+    Row-level hash sampling hits the token share in expectation (doc
+    lengths are independent of the hash); exact token quotas would need
+    the ranked-window form and a full shuffle.
+    """
+    if token_col is None:
+        from .textstats import tokens
+
+        with_tokens = df.withColumn("__n_tok", F.size(tokens(text_col)))
+        token_col_eff = "__n_tok"
+    else:
+        with_tokens = df
+        token_col_eff = token_col
+    totals = {
+        r["d"]: r["t"]
+        for r in with_tokens.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(token_col_eff).alias("t"))
+        .collect()
+        if r["d"] in weights
+    }
+    thresholds = domain_mixture_thresholds(totals, weights)
+    bucket = _hash_bucket(id_col, seed, hash_fn)
+    cond = F.lit(False)
+    for dom, thresh in sorted(thresholds.items()):
+        cond = cond | ((F.col(domain_col) == F.lit(dom)) & (bucket < F.lit(thresh)))
+    return df.filter(cond)

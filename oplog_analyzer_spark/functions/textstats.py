@@ -85,3 +85,180 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     oracle can reproduce it)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+# --- repetition filters (Gopher-style, Rae et al. 2021 §A1.1) ---------------
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Within-document repetition features — the public Gopher repetition
+    rules re-expressed over this corpus:
+
+      dup_token_frac_x10000   1 − distinct/total tokens, ×10000 floored —
+                              pure array codegen, no shuffle;
+      dup_line_frac_x10000    same over newline-split lines (0 for
+                              single-line docs) — codegen, no shuffle;
+      top_ngram_frac_x10000   occurrences of the doc's most frequent word
+                              n-gram / total n-grams, ×10000 floored.
+
+    The n-gram mode is NOT expressible in whole-stage codegen without an
+    O(len²) per-row scan (counting each gram's occurrences with
+    ``filter(grams, x -> x = g)`` squares on long documents), so it runs
+    as explode → groupBy(id, gram) → groupBy(id): two map-side-combinable
+    aggregations whose shuffle keys are hash-uniform doc ids — the
+    per-doc gram stream never concentrates on a hot key.  A zero-shuffle
+    pandas-UDF Counter pass is the alternative when the cluster is
+    shuffle-bound; this form is chosen as default because it stays
+    JVM-side and SQL-oracle-able.
+
+    Ratios are ×10000 floored ints (engine-exact, like quality_score).
+    Returns ``(id_col, n_tokens, dup_token_frac_x10000,
+    dup_line_frac_x10000, top_ngram_frac_x10000)``.
+    """
+    toks = tokens(text_col)
+    lines = F.split(F.col(text_col), r"\n")
+    grams_expr = _multiset_ngrams(text_col, n)
+
+    # materialize the gram array BEFORE exploding, and explode_outer + a
+    # null-filter on the GENERATED column instead of plain explode:
+    # InferFiltersFromGenerate would otherwise stamp the whole gram build
+    # into an inferred pre-filter (functions/dedup.py has the full note;
+    # measured 5x on this operator at sf0.1)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.floor(
+            (F.size(toks) - F.size(F.array_distinct(toks)))
+            * 10000
+            / F.greatest(F.size(toks), F.lit(1))
+        ).cast("long").alias("dup_token_frac_x10000"),
+        F.floor(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            * 10000
+            / F.greatest(F.size(lines), F.lit(1))
+        ).cast("long").alias("dup_line_frac_x10000"),
+        grams_expr.alias("__grams"),
+    ).select(
+        id_col, "n_tokens", "dup_token_frac_x10000", "dup_line_frac_x10000",
+        F.explode_outer("__grams").alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    per_gram = base.groupBy(
+        id_col, "n_tokens", "dup_token_frac_x10000", "dup_line_frac_x10000", "gram"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy(
+        id_col, "n_tokens", "dup_token_frac_x10000", "dup_line_frac_x10000"
+    ).agg(
+        F.floor(F.max("cnt") * 10000 / F.sum("cnt")).cast("long").alias(
+            "top_ngram_frac_x10000"
+        )
+    )
+
+
+def _multiset_ngrams(text_col: str, n: int) -> F.Column:
+    """Word n-grams WITHOUT dedup (the repetition mode needs the multiset;
+    dedup.shingles deliberately array_distincts).  Same let-bound single
+    tokenization; docs shorter than n tokens yield their whole text."""
+    toks_expr = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _from_tokens(toks: F.Column) -> F.Column:
+        k = F.size(toks) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, (i + j).cast("int")) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return F.element_at(F.transform(F.array(toks_expr), _from_tokens), 1)
+
+
+def repetition_ok(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    max_dup_token_frac_x10000: int = 3000,
+    max_top_ngram_frac_x10000: int = 1800,
+    min_tokens_for_ngram_rule: int = 12,
+) -> DataFrame:
+    """Gopher-style go/no-go verdict on top of repetition_stats (thresholds
+    are the published spirit — "mostly repeated content is filtered" — not
+    the paper's exact constants, which are char-based).
+
+    The top-n-gram rule SATURATES on short docs (a k-token doc's top bigram
+    fraction is ≥ 1/(k−1) even with zero repetition), so it only applies at
+    ``min_tokens_for_ngram_rule`` tokens and above — the mode of a tiny
+    multiset says nothing about repetition."""
+    stats = repetition_stats(df, id_col=id_col, text_col=text_col, n=n)
+    return stats.withColumn(
+        "repetition_ok",
+        (F.col("dup_token_frac_x10000") <= max_dup_token_frac_x10000)
+        & (
+            (F.col("n_tokens") < min_tokens_for_ngram_rule)
+            | (F.col("top_ngram_frac_x10000") <= max_top_ngram_frac_x10000)
+        ),
+    )
+
+
+# --- PII redaction ----------------------------------------------------------
+
+#: Patterns valid and equivalent in BOTH Java regex (Spark) and RE2
+#: (DuckDB) — the oracle contract.  Kept deliberately simple; the point is
+#: the pipeline shape (chained vectorized regexp_replace + counts on one
+#: scan), not regex erudition.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phones", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses and phone numbers; emit per-type match
+    counts (``n_emails``/``n_ipv4``/``n_phones``) plus the redacted text.
+
+    Counts are taken against the PRE-redaction text per type while the
+    replacements chain in PII_PATTERNS order (emails first, so an address's
+    host part can't be half-eaten by the IP rule) — all on one projection:
+    whole-stage codegen, one scan, no Python, no shuffle."""
+    out = df
+    redacted = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn(out_col, redacted)
+
+
+#: GPT-2-style pretokenizer pattern, restricted to the Java∩RE2 dialect —
+#: NO lookahead (the original's ``\s+(?!\S)`` is not RE2-expressible), so
+#: trailing-space grouping differs from the real BPE pretokenizer; the
+#: point is a codegen'd, oracle-certifiable token count whose growth
+#: tracks BPE token counts far better than whitespace splitting on
+#: punctuation-dense text.  Alternation order is semantic (leftmost-first
+#: in both engines) — keep the two sides byte-identical.
+BPE_ISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """BPE-ish token count: non-overlapping matches of BPE_ISH_PATTERN —
+    one ``regexp_count`` per row, whole-stage codegen, no Python.  The
+    DuckDB twin is ``len(regexp_extract_all(text, <same pattern>))``."""
+    return df.withColumn(
+        out_col, F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long")
+    )

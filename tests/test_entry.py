@@ -31,7 +31,14 @@ def test_oracle_keys_subset_of_queries():
 # (it is exactly full of certified rows): the TPC-H bench anchors, and the
 # r6 connected-components row — its recursive-CTE oracle still runs in
 # tools/check_oracles.py even though the driver window can't reach it.
-PARKED_ORACLED = {"tpch_q1", "tpch_q3ish", "dedup_cc_clusters"}
+PARKED_ORACLED = {
+    "tpch_q1", "tpch_q3ish", "dedup_cc_clusters",
+    # r6 training-data-family rows (decontamination, repetition filters,
+    # PII redaction, keep-best cluster resolution) — all oracle-certified
+    # by tools/check_oracles.py, parked only because the window is full.
+    "decontam_report", "gopher_repetition", "pii_redaction",
+    "dedup_keep_best", "domain_mixture", "dedup_cluster_sizes",
+}
 
 
 def test_driver_window_fully_oracled():

@@ -1317,3 +1317,197 @@ def test_cluster_keep_best(spark):
             G.cluster_keep_best(clusters, scored).collect()}
     # cluster {0,1,2}: 1 and 2 tie at 99 -> smaller id 1 wins; isolated 3 kept
     assert kept == {1: 0, 3: 3}
+
+
+# --- decontamination / repetition / PII (r6 training-data family) ----------
+
+
+def test_contamination_report_and_decontaminate(spark):
+    from oplog_analyzer_spark.functions import decontam as DC
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),   # shares 'alpha beta gamma'
+            (1, "zeta eta theta iota kappa"),        # clean
+            (2, "x alpha beta gamma y"),             # shares the same trigram
+            (3, "tiny doc"),                         # <n tokens, whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "tiny doc")],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: (r["hit_grams"], r["total_grams"])
+        for r in DC.contamination_report(train, bench, n=3).collect()
+    }
+    # doc 0: grams {abg, bgd, gde} -> 1 hit of 3; doc 2: {xab, abg, bgy} -> 1/3
+    # doc 3: whole-text fallback 'tiny doc' matches bench 101's fallback gram
+    assert rep == {0: (1, 3), 2: (1, 3), 3: (1, 1)}
+
+    kept = sorted(r["doc_id"] for r in DC.decontaminate(train, bench, n=3).collect())
+    assert kept == [1]
+
+    # min_hits=2 demands two shared grams: nothing reaches it here
+    assert DC.contamination_report(train, bench, n=3, min_hits=2).count() == 0
+    assert sorted(
+        r["doc_id"] for r in DC.decontaminate(train, bench, n=3, min_hits=2).collect()
+    ) == [0, 1, 2, 3]
+
+
+def test_repetition_stats_exact_values(spark):
+    df = spark.createDataFrame(
+        [
+            # 6 tokens, 3 distinct -> dup_token 5000; bigrams: 'a a','a a',
+            # 'a b','b b','b a' -> top 'a a' 2/5 -> 4000
+            (0, "a a a b b a"),
+            # all distinct tokens and bigrams; single line
+            (1, "one two three four"),
+            # two identical lines of two tokens: dup_line 1/2 -> 5000
+            (2, "x y\nx y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_token_frac_x10000"],
+            r["dup_line_frac_x10000"],
+            r["top_ngram_frac_x10000"],
+        )
+        for r in TS.repetition_stats(df, n=2).collect()
+    }
+    assert got[0] == (6, 6666, 0, 4000)
+    assert got[1] == (4, 0, 0, 3333)  # 3 bigrams, top 1/3
+    # 'x y\nx y': tokens [x, y\nx, y]? no — regex \s+ split eats the newline:
+    # tokens [x,y,x,y] -> dup 5000; bigrams 'x y','y x','x y' -> 6666; and the
+    # newline split sees two identical lines -> 5000
+    assert got[2] == (4, 5000, 5000, 6666)
+
+
+def test_repetition_ok_thresholds(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),       # dup-token rule fires
+            (1, "a fresh sentence with variety"),  # short: ngram rule waived
+            # 12 tokens, all distinct, but one bigram dominates 6/11 > 1800
+            (2, "go stop go stop go stop one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["repetition_ok"] for r in TS.repetition_ok(df).collect()}
+    assert got == {0: False, 1: True, 2: False}
+
+
+def test_redact_pii_counts_and_chain_order(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "write bob@example.com or call 555-123-4567 from 10.0.0.1"),
+            (1, "no pii here at all"),
+            (2, "two mails a@b.io c@d.org and ip 192.168.0.255"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TS.redact_pii(df).collect()}
+    assert (rows[0]["n_emails"], rows[0]["n_ipv4"], rows[0]["n_phones"]) == (1, 1, 1)
+    assert rows[0]["text_redacted"] == "write <EMAIL> or call <PHONE> from <IP>"
+    assert (rows[1]["n_emails"], rows[1]["n_ipv4"], rows[1]["n_phones"]) == (0, 0, 0)
+    assert rows[1]["text_redacted"] == "no pii here at all"
+    assert (rows[2]["n_emails"], rows[2]["n_ipv4"], rows[2]["n_phones"]) == (2, 1, 0)
+    assert rows[2]["text_redacted"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+# --- domain mixture sampling (r6) -------------------------------------------
+
+
+def test_domain_mixture_thresholds_exact_math():
+    from oplog_analyzer_spark.functions.sampling import (
+        _BUCKETS,
+        domain_mixture_thresholds,
+    )
+
+    # binding domain = fewest tokens-per-share: b has 100 tokens for 1
+    # share; a has 1000 for 2 shares (500/share) -> a thinned to 200 tokens
+    thr = domain_mixture_thresholds({"a": 1000, "b": 100}, {"a": 2, "b": 1})
+    assert thr["b"] == _BUCKETS                      # binding keeps all
+    assert thr["a"] == _BUCKETS * 2 * 100 // (1 * 1000)  # = 200000 (20%)
+
+    # e=d term caps every threshold at exactly _BUCKETS
+    thr2 = domain_mixture_thresholds({"a": 7, "b": 7}, {"a": 1, "b": 1})
+    assert thr2 == {"a": _BUCKETS, "b": _BUCKETS}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no tokens"):
+        domain_mixture_thresholds({"a": 10}, {"a": 1, "b": 1})
+    with _pytest.raises(ValueError, match="positive ints"):
+        domain_mixture_thresholds({"a": 10, "b": 10}, {"a": 0.5, "b": 1})
+
+
+def test_domain_mixture_sample_share_and_determinism(spark):
+    from oplog_analyzer_spark.functions import sampling as SP
+
+    rows = [
+        (i, " ".join(["tok"] * (10 + i % 5)), f"d{i % 3}") for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    weights = {"d0": 3, "d1": 1}  # d2 unlisted -> dropped entirely
+    kept = SP.domain_mixture_sample(df, "source", weights, seed=9)
+    pdf = kept.withColumn(
+        "n", F.size(F.split(F.trim("text"), r"\s+"))
+    ).groupBy("source").agg(F.sum("n").alias("toks")).toPandas()
+    shares = dict(zip(pdf["source"], pdf["toks"]))
+    assert set(shares) == {"d0", "d1"}
+    # token ratio ~3:1 (hash sampling: expectation, generous tolerance)
+    ratio = shares["d0"] / shares["d1"]
+    assert 2.2 < ratio < 3.8, ratio
+
+    # deterministic + partition-invariant: same kept ids on a reshuffle
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in SP.domain_mixture_sample(
+            df.repartition(13), "source", weights, seed=9
+        ).collect()
+    )
+    assert ids1 == ids2
+
+    # pre-computed token column path agrees with the derived-tokens path
+    from oplog_analyzer_spark.functions.textstats import token_count
+
+    with_n = token_count(df)
+    ids3 = sorted(
+        r["doc_id"]
+        for r in SP.domain_mixture_sample(
+            with_n, "source", weights, token_col="n_tokens", seed=9
+        ).collect()
+    )
+    assert ids1 == ids3
+
+
+def test_bpe_token_count_vs_python_re(spark):
+    """The Java-regex count must equal Python re.findall on the same
+    pattern (both leftmost-first alternation) — including apostrophe
+    contractions, punctuation runs, and digit runs that whitespace
+    tokenization undercounts."""
+    import re
+
+    texts = [
+        "don't stop-me now, it's 42.5 degrees!!  ok",
+        "plain words only here",
+        "a1b2c3 --- ...",
+        "",
+        "  leading and trailing  ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in TS.bpe_token_count(df).collect()
+    }
+    want = {
+        i: len(re.findall(TS.BPE_ISH_PATTERN, t)) for i, t in enumerate(texts)
+    }
+    assert got == want
