@@ -1,18 +1,21 @@
 """spark-submit entry point: the training-data pipeline over a documents
-table — dedup → quality gate → split → stratified sample → pack → epoch
-shuffle, every stage optional and composable (the §2.11 operator family as
-a runnable command, the way run_scan/run_tail expose the reference's
-surface).
+table — decontaminate → dedup → quality/repetition gates → PII redaction →
+split → stratified sample → pack → epoch shuffle, every stage optional and
+composable (the §2.11 operator family as a runnable command, the way
+run_scan/run_tail expose the reference's surface).
 
   spark-submit --py-files dist/oplog_analyzer_spark.zip jobs/run_dataset.py \
     --input docs.parquet --output <dir> \
-    [--dedup exact|ngram|minhash|simhash] [--dedup-policy greedy|component_min] \
+    [--decontam eval.parquet] [--decontam-ngram 3] [--decontam-min-hits 1] \
+    [--dedup exact|ngram|minhash|simhash] \
+    [--dedup-policy greedy|component_min|keep_best] \
     [--dedup-threshold 0.8] \
     [--minhash-hashes 32] [--minhash-bands 8] [--max-bucket N] \
     [--simhash-hamming 3] [--simhash-blocks 4] [--match-blocks 1] \
-    [--quality-gate] \
+    [--quality-gate] [--repetition-gate] [--redact-pii] \
     [--split train=0.98,val=0.01,test=0.01] \
     [--sample-strata lang --sample-fractions en=0.5,de=1.0] \
+    [--mix-domain source --mix-weights web=5,books=3,code=1] \
     [--pack 2048] [--pack-buckets N] [--shuffle-seed 7] \
     [--seed 42] [--hash xxhash64|md5]
 
@@ -51,13 +54,24 @@ def main() -> None:
         "anti-join (cluster_dedup_keep)",
     )
     ap.add_argument(
-        "--dedup-policy", choices=["greedy", "component_min"],
+        "--dedup-policy", choices=["greedy", "component_min", "keep_best"],
         help="near-dup keep policy: greedy (default; keep ids never the "
-        "greater member of a pair — one anti-join) or component_min (keep "
+        "greater member of a pair — one anti-join), component_min (keep "
         "one representative per CONNECTED COMPONENT of the near-dup graph "
         "— transitive, via the large-star/small-star loop in "
-        "functions/graph.py; the stricter policy for dense clone families)",
+        "functions/graph.py; the stricter policy for dense clone families), "
+        "or keep_best (component resolution keeping each cluster's "
+        "highest-token-count member instead of its min id)",
     )
+    ap.add_argument("--decontam",
+                    help="parquet path of a benchmark/eval corpus (same "
+                    "text column); training docs sharing word n-grams with "
+                    "it are dropped BEFORE dedup (functions/decontam.py)")
+    ap.add_argument("--decontam-ngram", type=int,
+                    help="n-gram size for --decontam (default 3)")
+    ap.add_argument("--decontam-min-hits", type=int,
+                    help="shared distinct n-grams required to drop a doc "
+                    "(default 1)")
     ap.add_argument("--dedup-threshold", type=float,
                     help="jaccard threshold for --dedup ngram|minhash "
                     "(default 0.8; rejected with other strategies — simhash "
@@ -77,6 +91,14 @@ def main() -> None:
     ap.add_argument("--match-blocks", type=int,
                     help="blocks that must agree per simhash candidate "
                     "(default 1; raise with --simhash-blocks at corpus scale)")
+    ap.add_argument("--repetition-gate", action="store_true",
+                    help="drop docs failing the Gopher-style repetition_ok "
+                    "verdict (duplicate-token fraction / top-bigram "
+                    "fraction, with the short-doc saturation guard)")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="replace emails/IPv4/phones in the text column "
+                    "with typed tokens (one codegen projection) before "
+                    "split/sample/pack")
     ap.add_argument("--quality-gate", action="store_true",
                     help="drop docs failing the quality_score gate "
                     "(quality_ok: >=5 tokens, punctuation < 1/4 of bytes, "
@@ -87,6 +109,12 @@ def main() -> None:
     ap.add_argument("--sample-fractions",
                     help="per-stratum keep fractions, e.g. en=0.5,de=1.0 "
                     "(unlisted strata are dropped)")
+    ap.add_argument("--mix-domain",
+                    help="domain column for --mix-weights")
+    ap.add_argument("--mix-weights",
+                    help="integer token-share mixture, e.g. web=5,books=3 "
+                    "(unlisted domains dropped, downsampling only; "
+                    "two-pass: token totals then hash-threshold filter)")
     ap.add_argument("--pack", type=int,
                     help="pack into sequences of at most this many tokens "
                     "(adds bucket/seq_idx/oversize; n_tokens derived from "
@@ -123,6 +151,9 @@ def main() -> None:
     _require("--simhash-blocks", args.dedup == "simhash", "with --dedup simhash")
     _require("--match-blocks", args.dedup == "simhash", "with --dedup simhash")
     _require("--pack-buckets", args.pack is not None, "with --pack")
+    _require("--decontam-ngram", args.decontam is not None, "with --decontam")
+    _require("--decontam-min-hits", args.decontam is not None, "with --decontam")
+    _require("--mix-domain", args.mix_weights is not None, "with --mix-weights")
 
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -143,6 +174,16 @@ def main() -> None:
         return frame.observe(obs, F.count(F.lit(1)).alias("rows"))
 
     df = observe("rows_in", df)
+
+    if args.decontam:
+        from oplog_analyzer_spark.functions import decontam as DC
+
+        bench = spark.read.parquet(args.decontam)
+        df = DC.decontaminate(
+            df, bench, id_col=args.id_col, text_col=args.text_col,
+            n=args.decontam_ngram or 3, min_hits=args.decontam_min_hits or 1,
+        )
+        df = observe("rows_after_decontam", df)
 
     if args.dedup == "exact":
         keep = D.exact_dedup(df, args.id_col, args.text_col).select(
@@ -169,11 +210,23 @@ def main() -> None:
                 blocks=args.simhash_blocks or 4,
                 match_blocks=args.match_blocks or 1,
             )
-        keep = D.cluster_dedup_keep(
-            pairs, df.select(F.col(args.id_col).alias("id")),
-            policy=args.dedup_policy or "greedy",
-        ).select(F.col("id").alias(args.id_col))
-        df = df.join(keep, args.id_col, "left_semi")
+        all_ids = df.select(F.col(args.id_col).alias("id"))
+        if args.dedup_policy == "keep_best":
+            from oplog_analyzer_spark.functions import graph as G
+
+            clusters = G.dedup_clusters(pairs, all_ids)
+            scored = df.select(
+                F.col(args.id_col).alias("id"),
+                F.size(TS.tokens(args.text_col)).alias("score"),
+            )
+            keep = G.cluster_keep_best(clusters, scored).select("id")
+        else:
+            keep = D.cluster_dedup_keep(
+                pairs, all_ids, policy=args.dedup_policy or "greedy"
+            )
+        df = df.join(
+            keep.select(F.col("id").alias(args.id_col)), args.id_col, "left_semi"
+        )
     if args.dedup:
         df = observe("rows_after_dedup", df)
 
@@ -181,6 +234,19 @@ def main() -> None:
         base_cols = df.columns
         df = TS.quality_score(df, args.text_col).filter("quality_ok").select(base_cols)
         df = observe("rows_after_quality", df)
+
+    if args.repetition_gate:
+        ok = TS.repetition_ok(df, id_col=args.id_col, text_col=args.text_col)
+        df = df.join(
+            ok.filter("repetition_ok").select(F.col(args.id_col)),
+            args.id_col, "left_semi",
+        )
+        df = observe("rows_after_repetition", df)
+
+    if args.redact_pii:
+        base_cols = df.columns
+        df = TS.redact_pii(df, text_col=args.text_col, out_col="__redacted")
+        df = df.withColumn(args.text_col, F.col("__redacted")).select(base_cols)
 
     if args.split:
         df = SP.hash_split(
@@ -196,6 +262,21 @@ def main() -> None:
             id_col=args.id_col, seed=args.seed + 1, hash_fn=args.hash,
         )
         df = observe("rows_after_sample", df)
+
+    if args.mix_weights:
+        if not args.mix_domain:
+            ap.error("--mix-weights requires --mix-domain")
+        parsed = _parse_weights(args.mix_weights)
+        if any(not v.is_integer() or v <= 0 for v in parsed.values()):
+            ap.error("--mix-weights shares must be positive integers "
+                     "(integer-exact threshold contract)")
+        mix = {k: int(v) for k, v in parsed.items()}
+        df = SP.domain_mixture_sample(
+            df, args.mix_domain, mix,
+            id_col=args.id_col, text_col=args.text_col,
+            seed=args.seed + 3, hash_fn=args.hash,
+        )
+        df = observe("rows_after_mix", df)
 
     persisted = None
     if args.pack:

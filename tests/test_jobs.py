@@ -403,6 +403,10 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--dedup", "minhash", "--simhash-hamming", "2"],
         ["--simhash-blocks", "8"],                            # no --dedup at all
         ["--pack-buckets", "8"],                              # no --pack
+        ["--decontam-ngram", "3"],                            # no --decontam
+        ["--decontam-min-hits", "2"],
+        ["--mix-domain", "lang"],                             # no --mix-weights
+        ["--mix-weights", "en=0.5"],                          # non-integer share
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -427,7 +431,10 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
         ["--dedup", "ngram", "--dedup-threshold", "0.9"],
         ["--dedup", "ngram", "--dedup-threshold", "0.5",
          "--dedup-policy", "component_min"],
+        ["--dedup", "ngram", "--dedup-threshold", "0.5",
+         "--dedup-policy", "keep_best"],
         ["--pack", "64", "--pack-buckets", "4"],
+        ["--mix-domain", "lang", "--mix-weights", "en=3"],
     ]
     for i, extra in enumerate(cases):
         out = str(tmp_path / f"out_ok_{i}")
@@ -437,5 +444,49 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
         assert summary["rows_in"] == 40
         assert spark.read.parquet(out).count() >= 1
     # explicit --pack-buckets pins bucket ids under the given count
-    packed = spark.read.parquet(str(tmp_path / "out_ok_4"))
+    packed = spark.read.parquet(str(tmp_path / "out_ok_5"))
     assert packed.agg({"bucket": "max"}).collect()[0][0] < 4
+
+
+def test_run_dataset_decontam_repetition_redact_stages(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """The r6 hygiene stages compose: decontamination drops eval-overlapping
+    docs first (observed in the summary), the repetition gate drops the
+    planted spam doc, and --redact-pii rewrites the text column in place
+    without changing the schema."""
+    import json
+
+    base = ("the quick brown fox jumps over the lazy dog and then some more "
+            "words follow here")
+    rows = [(i, f"{base} variant {i % 20}", "en") for i in range(40)]
+    # planted: one doc that IS an eval prompt, one pure-repetition doc
+    rows += [(100, "what is the capital of assyria in the bronze age era", "en"),
+             (101, "spam spam spam spam spam spam spam spam spam spam", "en")]
+    src = str(tmp_path / "docs_src6")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(src)
+    bench = str(tmp_path / "bench6")
+    spark.createDataFrame(
+        [(0, "tell me what is the capital of assyria please")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(bench)
+
+    from jobs.run_dataset import main
+
+    out = str(tmp_path / "out_hyg")
+    printed = _run(
+        main,
+        ["--input", src, "--output", out,
+         "--decontam", bench, "--decontam-ngram", "3",
+         "--repetition-gate", "--redact-pii"],
+        monkeypatch, capsys,
+    )
+    summary = json.loads(printed.strip().splitlines()[-1])
+    assert summary["rows_in"] == 42
+    assert summary["rows_after_decontam"] == 41      # doc 100 contaminated
+    assert summary["rows_after_repetition"] == 40    # doc 101 repetitive
+    written = spark.read.parquet(out)
+    assert written.count() == 40
+    assert set(written.columns) == {"doc_id", "text", "lang"}
+    assert sorted(r["doc_id"] for r in written.collect()) == list(range(40))
