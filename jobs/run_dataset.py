@@ -9,7 +9,7 @@ run_scan/run_tail expose the reference's surface).
     [--decontam eval.parquet] [--decontam-ngram 3] [--decontam-min-hits 1] \
     [--dedup exact|ngram|minhash|simhash] \
     [--dedup-policy greedy|component_min|keep_best] \
-    [--dedup-threshold 0.8] \
+    [--cluster-report <parquet>] [--dedup-threshold 0.8] \
     [--minhash-hashes 32] [--minhash-bands 8] [--max-bucket N] \
     [--simhash-hamming 3] [--simhash-blocks 4] [--match-blocks 1] \
     [--quality-gate] [--repetition-gate] [--redact-pii] \
@@ -62,6 +62,12 @@ def main() -> None:
         "functions/graph.py; the stricter policy for dense clone families), "
         "or keep_best (component resolution keeping each cluster's "
         "highest-token-count member instead of its min id)",
+    )
+    ap.add_argument(
+        "--cluster-report",
+        help="with --dedup-policy component_min|keep_best: also write the "
+        "cluster-size histogram (cluster_size, n_clusters, n_docs) to this "
+        "parquet path — the 'how duplicated is this corpus' report",
     )
     ap.add_argument("--decontam",
                     help="parquet path of a benchmark/eval corpus (same "
@@ -154,6 +160,10 @@ def main() -> None:
     _require("--decontam-ngram", args.decontam is not None, "with --decontam")
     _require("--decontam-min-hits", args.decontam is not None, "with --decontam")
     _require("--mix-domain", args.mix_weights is not None, "with --mix-weights")
+    _require("--cluster-report",
+             args.dedup_policy in ("component_min", "keep_best"),
+             "with --dedup-policy component_min|keep_best (greedy resolution "
+             "never materializes clusters)")
 
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -211,6 +221,7 @@ def main() -> None:
                 match_blocks=args.match_blocks or 1,
             )
         all_ids = df.select(F.col(args.id_col).alias("id"))
+        clusters = None
         if args.dedup_policy == "keep_best":
             from oplog_analyzer_spark.functions import graph as G
 
@@ -220,9 +231,23 @@ def main() -> None:
                 F.size(TS.tokens(args.text_col)).alias("score"),
             )
             keep = G.cluster_keep_best(clusters, scored).select("id")
+        elif args.dedup_policy == "component_min" and args.cluster_report:
+            from oplog_analyzer_spark.functions import graph as G
+
+            clusters = G.dedup_clusters(pairs, all_ids)
+            keep = clusters.filter(F.col("id") == F.col("cluster_id")).select("id")
         else:
             keep = D.cluster_dedup_keep(
                 pairs, all_ids, policy=args.dedup_policy or "greedy"
+            )
+        if args.cluster_report and clusters is not None:
+            from oplog_analyzer_spark.functions.graph import cluster_size_stats
+
+            # the component loop already materialized its labels via
+            # localCheckpoint, so this second action re-reads checkpointed
+            # partitions rather than re-running the iteration
+            cluster_size_stats(clusters).write.mode("overwrite").parquet(
+                args.cluster_report
             )
         df = df.join(
             keep.select(F.col("id").alias(args.id_col)), args.id_col, "left_semi"

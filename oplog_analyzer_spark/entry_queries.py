@@ -2434,6 +2434,126 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_STREAM_ROOT = "/tmp/oplog_spark_dedup_stream_run"
+# bump when the feed construction or the report layout changes
+_DEDUP_STREAM_VERSION = "v1"
+
+
+def _dedup_stream_published(spark: SparkSession, sf_dir: str) -> str:
+    """Run the two-drain streaming exact-dedup ONCE per (process tree, sf)
+    and atomically publish its cumulative admission table.
+
+    Feed construction (deterministic, id-ordered — the arrival order under
+    which streaming admission provably equals batch min-id dedup):
+
+      drain 1  the lower-id half of the documents table;
+      drain 2  the upper-id half PLUS a planted duplicate of every
+               doc_id % 3 == 0 document under id + 1_000_000 — so
+               cross-drain duplicate admission (the hash was already
+               admitted in batch 0) is exercised non-vacuously, with
+               checkpointed-offset resume between the drains (a FRESH
+               DedupStream over the same work_dir sees only the delta).
+    """
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.dedup_stream import DedupStream
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_DEDUP_STREAM_ROOT, _DEDUP_STREAM_VERSION, tag)
+    if os.path.exists(os.path.join(out, "_PUBLISHED")):
+        return out
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    work = os.path.join(
+        _DEDUP_STREAM_ROOT, f".tmp-{os.getpid()}-{uuid.uuid4().hex}"
+    )
+    input_dir = os.path.join(work, "input")
+    stream_dir = os.path.join(work, "stream")
+    os.makedirs(input_dir, exist_ok=True)
+
+    def _land(frame, stage_name: str, prefix: str) -> None:
+        """Write a feed increment then copy its part files into the flat
+        input dir (the _tail_published landing pattern — the streaming
+        source watches ONE directory and new files simply appear)."""
+        stage = os.path.join(work, stage_name)
+        frame.write.mode("overwrite").parquet(stage)
+        k = 0
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(stage, f),
+                    os.path.join(input_dir, f"{prefix}-{k}.parquet"),
+                )
+                k += 1
+
+    _land(docs.filter(F.col("doc_id") <= mid), "stage1", "half1")
+    DedupStream(
+        spark, input_dir, stream_dir, max_files_per_trigger=64
+    ).run_available()
+
+    upper = docs.filter(F.col("doc_id") > mid)
+    planted = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    _land(upper.unionByName(planted), "stage2", "half2")
+    DedupStream(
+        spark, input_dir, stream_dir, max_files_per_trigger=64
+    ).run_available()
+
+    report_dir = os.path.join(work, "out")
+    DedupStream(
+        spark, input_dir, stream_dir, max_files_per_trigger=64
+    ).admitted().write.mode("overwrite").parquet(
+        os.path.join(report_dir, "admitted")
+    )
+    open(os.path.join(report_dir, "_PUBLISHED"), "w").close()
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(report_dir, out)  # atomic publish
+    except OSError:
+        pass  # a concurrent winner published first — use theirs
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_q(
+    "stream_dedup_admitted",
+    r"""
+WITH feed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM feed GROUP BY 1
+""",
+)
+def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup certification (§2.11 × streaming): two
+    checkpoint-resumed AvailableNow drains over an id-ordered feed (with
+    planted cross-drain duplicates) must produce EXACTLY the batch-mode
+    dedup answer — per normalized text, the min id admitted and every
+    later copy counted as turned away.  The oracle recomputes the whole
+    admission table from the equivalent bounded feed; the merge-safe
+    partials algebra (first-batch-wins min(struct), summed counts) is what
+    is being certified, row by row."""
+    out = _dedup_stream_published(spark, sf_dir)
+    import os
+
+    admitted = spark.read.parquet(os.path.join(out, "admitted"))
+    return admitted.select(
+        "text_hash",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
 @_q(
     "dedup_cluster_sizes",
     r"""

@@ -1,0 +1,213 @@
+"""Streaming exact deduplication — admit each distinct text once across an
+unbounded document feed.
+
+The batch §2.11 family dedups a bounded corpus; a continuously-ingesting
+training pipeline needs the STREAMING form: documents arrive in micro-
+batches (crawl dumps landing in a bucket), and the pipeline must admit the
+first copy of each normalized text while counting the duplicates it turns
+away — across micro-batches, across drains, across restarts.
+
+Design — merge-safe partials, the same algebra the tail accumulator uses
+(``streaming/tail.py``), not ``applyInPandasWithState``:
+
+  per batch   one hash aggregate of the micro-batch:
+                (text_hash, min_id within batch, count)
+              written to its own ``batch_id=<k>/`` partition with
+              overwrite — at-least-once foreachBatch replays become no-op
+              rewrites (the tail idempotence contract);
+  admitted()  one aggregate over the partials: per hash the winner is
+              min(struct(batch_id, min_id)) — FIRST batch that saw the
+              hash wins, ties inside a batch to the smaller id — plus the
+              cumulative duplicate count.  Partials are group-count-sized
+              (distinct hashes per batch), never row-sized.
+
+Why not applyInPandasWithState: admission state here is a pure min — a
+commutative/idempotent reduction that the partials algebra handles with
+ONE aggregate at read time and zero Python in the stream.  The state-store
+form adds a per-key Python round-trip per batch and pins every admitted
+hash in the state store forever (unbounded state, no watermark can evict
+it — a duplicate may arrive years later).  The tail keeps a true
+``applyInPandasWithState`` accumulator for T6 parity where per-key logic
+is genuinely sequential; dedup admission is not.
+
+Determinism contract: the admitted id per hash depends on ARRIVAL order
+(which batch saw the hash first) — inherent to any streaming dedup.  When
+the feed is id-ordered (files land in key order), the admitted set equals
+the batch-mode ``exact_dedup`` keep set (min id per normalized text); the
+driver row ``stream_dedup_admitted`` certifies exactly that equivalence,
+and the kill/resume pytest certifies checkpointed-offset resume (only the
+delta is re-read, replayed batches rewrite identical partials).
+
+Reference anchor: the reference tails an oplog but never dedups it
+(TailCommand.java has no distinct-admission path); this module composes
+its resumable-tail machinery (checkpoint + idempotent per-batch sinks +
+merge-safe partials) with the §2.11 dedup semantics — beyond-reference by
+design (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: default feed schema — the documents table shape
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+class DedupStream:
+    """Resumable streaming exact-dedup over a growing parquet directory.
+
+    ``work_dir`` holds the stream checkpoint and the cumulative partials;
+    the meaning-defining options (id/text column, normalization) are pinned
+    in ``dedup_meta.json`` at creation and a resume with different options
+    raises (the tail_meta contract — merging partials computed under a
+    different normalization would silently change what "duplicate" means).
+    """
+
+    _META_FIELDS = ("id_col", "text_col", "schema")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        work_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        schema: str = DOCS_SCHEMA,
+        max_files_per_trigger: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.input_dir = input_dir
+        self.work_dir = work_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.schema = schema
+        self.max_files_per_trigger = int(max_files_per_trigger)
+        self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
+        self.partials_dir = os.path.join(work_dir, "partials")
+        self._enforce_meta()
+
+    def _meta(self) -> dict:
+        return {k: getattr(self, k) for k in self._META_FIELDS}
+
+    def _enforce_meta(self) -> None:
+        path = os.path.join(self.work_dir, "dedup_meta.json")
+        mine = self._meta()
+        if os.path.exists(path):
+            with open(path) as f:
+                pinned = json.load(f)
+            diffs = {
+                k: (pinned.get(k), mine[k])
+                for k in self._META_FIELDS
+                if pinned.get(k) != mine[k]
+            }
+            if diffs:
+                raise ValueError(
+                    f"work_dir {self.work_dir} was created with a different "
+                    f"dedup-stream configuration (use a fresh work_dir): {diffs}"
+                )
+            return
+        os.makedirs(self.work_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(mine, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    # -- per-batch transform ---------------------------------------------
+    def _hash_col(self) -> F.Column:
+        """md5 over whitespace/case-normalized text — exact_dedup's
+        normalization (functions/dedup.py::_normalized), md5 so the SQL
+        oracle reproduces every hash."""
+        return F.md5(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(self.text_col))), r"\s+", " "
+            )
+        )
+
+    def _batch_partial(self, batch: DataFrame) -> DataFrame:
+        return (
+            batch.select(
+                self._hash_col().alias("text_hash"),
+                F.col(self.id_col).alias("id"),
+            )
+            .groupBy("text_hash")
+            .agg(
+                F.min("id").alias("min_id"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+        )
+
+    def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self._batch_partial(batch).write.mode("overwrite").parquet(
+            os.path.join(self.partials_dir, f"batch_id={batch_id}")
+        )
+
+    # -- drains ------------------------------------------------------------
+    def _source(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.input_dir)
+        )
+
+    def run_available(self) -> None:
+        """Drain all currently-available input (Trigger.AvailableNow) then
+        stop; a fresh DedupStream over the same work_dir later drains only
+        the delta (checkpointed source offsets)."""
+        q = (
+            self._source()
+            .writeStream.foreachBatch(self._sink_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def run_continuous(self, processing_time: str = "5 seconds"):
+        """Forever-running form (processingTime trigger); caller owns
+        ``query.stop()`` — same handoff contract as TailStream: the two
+        trigger modes share one checkpoint, so drains and continuous runs
+        interleave freely."""
+        return (
+            self._source()
+            .writeStream.foreachBatch(self._sink_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
+    # -- cumulative reports --------------------------------------------------
+    def _read_partials(self) -> DataFrame:
+        if not os.path.isdir(self.partials_dir):
+            return self.spark.createDataFrame(
+                [], "text_hash string, min_id long, cnt long, batch_id long"
+            )
+        return self.spark.read.option("basePath", self.partials_dir).parquet(
+            os.path.join(self.partials_dir, "batch_id=*")
+        )
+
+    def admitted(self) -> DataFrame:
+        """Cumulative admission table: ``(text_hash, keep_id, dup_count,
+        first_batch_id)`` — one row per distinct text seen so far.  One
+        aggregate over the group-count-sized partials; min(struct) picks
+        the earliest batch, then the smallest id within it."""
+        p = self._read_partials()
+        win = F.min(F.struct("batch_id", "min_id")).alias("w")
+        return (
+            p.groupBy("text_hash")
+            .agg(win, F.sum("cnt").alias("dup_count"))
+            .select(
+                "text_hash",
+                F.col("w.min_id").alias("keep_id"),
+                "dup_count",
+                F.col("w.batch_id").alias("first_batch_id"),
+            )
+        )
+
+    def duplicates_turned_away(self) -> DataFrame:
+        """Per-hash duplicate counts for hashes seen more than once —
+        the streaming twin of exact_dedup's dup_count report."""
+        return self.admitted().filter(F.col("dup_count") > 1)

@@ -407,6 +407,8 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--decontam-min-hits", "2"],
         ["--mix-domain", "lang"],                             # no --mix-weights
         ["--mix-weights", "en=0.5"],                          # non-integer share
+        ["--dedup", "ngram", "--dedup-threshold", "0.5",
+         "--cluster-report", "/tmp/x"],                       # greedy: no clusters
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -443,6 +445,17 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
         summary = json.loads(printed.strip().splitlines()[-1])
         assert summary["rows_in"] == 40
         assert spark.read.parquet(out).count() >= 1
+    # component policies + --cluster-report write the duplication histogram
+    out = str(tmp_path / "out_creport")
+    rep = str(tmp_path / "creport")
+    printed = _run(main, ["--input", src, "--output", out,
+                          "--dedup", "ngram", "--dedup-threshold", "0.5",
+                          "--dedup-policy", "component_min",
+                          "--cluster-report", rep], monkeypatch, capsys)
+    hist = spark.read.parquet(rep)
+    assert set(hist.columns) == {"cluster_size", "n_clusters", "n_docs"}
+    assert hist.count() >= 1
+
     # explicit --pack-buckets pins bucket ids under the given count
     packed = spark.read.parquet(str(tmp_path / "out_ok_5"))
     assert packed.agg({"bucket": "max"}).collect()[0][0] < 4
@@ -490,3 +503,52 @@ def test_run_dataset_decontam_repetition_redact_stages(
     assert written.count() == 40
     assert set(written.columns) == {"doc_id", "text", "lang"}
     assert sorted(r["doc_id"] for r in written.collect()) == list(range(40))
+
+
+def test_run_dedup_stream_cli(spark, tmp_path, monkeypatch, capsys):
+    """Drain mode: two invocations over a growing dir accumulate (resume via
+    checkpoint), the printed report carries cumulative totals; continuous-
+    only flags are rejected without --continuous; a continuous run with a
+    pre-existing stop file drains immediately instead of blocking."""
+    import os
+
+    import pytest
+
+    from jobs.run_dedup_stream import main
+
+    input_dir = str(tmp_path / "feed")
+    work = str(tmp_path / "ddwork")
+    os.makedirs(input_dir)
+
+    def land(rows, name):
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        stage = str(tmp_path / ("stg_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(stage, f),
+                          os.path.join(input_dir, name + ".parquet"))
+
+    land([(0, "aa bb"), (1, "aa  BB"), (2, "cc")], "f1")
+    out = _run(main, ["--input", input_dir, "--work-dir", work], monkeypatch, capsys)
+    assert "distinct_texts" in out and "duplicates_turned_away" in out
+
+    land([(3, "aa bb"), (4, "dd")], "f2")
+    out = _run(main, ["--input", input_dir, "--work-dir", work,
+                      "--top-dups", "5"], monkeypatch, capsys)
+    # cumulative: 5 docs seen, 3 distinct, 2 turned away
+    assert "5" in out and "3" in out
+
+    with pytest.raises(SystemExit):
+        _run(main, ["--input", input_dir, "--work-dir", work,
+                    "--stop-file", "/tmp/x"], monkeypatch, capsys)
+
+    stop = str(tmp_path / "stop.marker")
+    open(stop, "w").close()
+    out = _run(main, ["--input", input_dir, "--work-dir", work,
+                      "--continuous", "--stop-file", stop],
+               monkeypatch, capsys)
+    assert "STREAMING DEDUP" in out

@@ -432,3 +432,89 @@ def test_tail_meta_pins_doc_sizes_dimension(spark, tmp_path):
     with pytest.raises(ValueError, match="different tail configuration"):
         TailStream(spark, str(tmp_path / "in"), wd, id_stats=True,
                    doc_sizes_path=dim_a)
+
+
+# --- streaming exact dedup (r6: §2.11 × streaming) --------------------------
+
+
+def _docs_frame(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_dedup_stream_two_drains_equal_batch(spark, tmp_path):
+    """Two checkpoint-resumed drains over an id-ordered feed (duplicates
+    both within and across drains) must equal batch exact_dedup: same keep
+    id per normalized text, same duplicate counts."""
+    import os
+
+    from oplog_analyzer_spark.functions.dedup import exact_dedup
+    from oplog_analyzer_spark.streaming.dedup_stream import DedupStream
+
+    input_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    os.makedirs(input_dir)
+
+    first = [(0, "alpha beta gamma"), (1, "  ALPHA  beta gamma "),  # dup of 0
+             (2, "unique one")]
+    second = [(3, "alpha beta gamma"),       # cross-drain dup of 0
+              (4, "unique two"), (5, "unique two extra"),
+              (6, "Unique Two")]             # dup of 4 (case/space norm)
+    _docs_frame(spark, first).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "s1")
+    )
+    for f in os.listdir(str(tmp_path / "s1")):
+        if f.endswith(".parquet"):
+            os.rename(str(tmp_path / "s1" / f), os.path.join(input_dir, "a.parquet"))
+    DedupStream(spark, input_dir, work).run_available()
+
+    _docs_frame(spark, second).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "s2")
+    )
+    for f in os.listdir(str(tmp_path / "s2")):
+        if f.endswith(".parquet"):
+            os.rename(str(tmp_path / "s2" / f), os.path.join(input_dir, "b.parquet"))
+    # FRESH DedupStream over the same work_dir: checkpointed offsets mean
+    # only the delta file is read
+    DedupStream(spark, input_dir, work).run_available()
+
+    got = {
+        r["text_hash"]: (r["keep_id"], r["dup_count"])
+        for r in DedupStream(spark, input_dir, work).admitted().collect()
+    }
+    batch = {
+        r["text_hash"]: (r["keep_id"], r["dup_count"])
+        for r in exact_dedup(spark.read.parquet(input_dir)).collect()
+    }
+    assert got == batch
+    assert got[[h for h, v in got.items() if v[0] == 0][0]][1] == 3  # 0,1,3
+
+    # replay idempotency: draining again with no new files changes nothing
+    DedupStream(spark, input_dir, work).run_available()
+    again = {
+        r["text_hash"]: (r["keep_id"], r["dup_count"])
+        for r in DedupStream(spark, input_dir, work).admitted().collect()
+    }
+    assert again == got
+
+    turned = DedupStream(spark, input_dir, work).duplicates_turned_away()
+    assert {r["dup_count"] for r in turned.collect()} == {2, 3}
+
+
+def test_dedup_stream_meta_pinned_and_empty_report(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from oplog_analyzer_spark.streaming.dedup_stream import DedupStream
+
+    input_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    os.makedirs(input_dir)
+    s = DedupStream(spark, input_dir, work)
+    # no micro-batch ever ran -> reports print empty, not raise
+    assert s.admitted().count() == 0
+    with pytest.raises(ValueError, match="different dedup-stream"):
+        DedupStream(spark, input_dir, work, text_col="body")
