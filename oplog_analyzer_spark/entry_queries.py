@@ -2434,6 +2434,104 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the hyperplane-LSH configuration under recall certification: 8
+#: independent tables + hamming-1 multiprobe recover 94/100 recall@1 on
+#: the near-uniform sf0.01 embeddings (the partition-hostile worst case;
+#: single-table no-probe is 47/100 at the same planes) — the n_tables /
+#: multiprobe levers doing exactly what their docstring claims.  Floor
+#: pinned in tests/test_functions.py.
+_ANN_LSH_CONF = dict(
+    k=1, n_planes=6, n_tables=8, multiprobe=True, max_bucket=4096, dim=64
+)
+
+
+def _lsh_top1_published(spark: SparkSession, sf_dir: str) -> str:
+    """Run the shipped hyperplane-LSH ANN once per (process tree, sf) and
+    atomically publish (q_id, lsh_nn_id, lsh_cosine) for q_id < 100 — the
+    _ivf_top1_published pattern, separate path per ANN family."""
+    import os
+    import shutil
+    import uuid
+
+    from .functions.similarity import lsh_bucket_topk
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "corpus"
+    out = os.path.join(_ANN_RUN_ROOT, f"lsh_{tag}_{_ANN_VERSION}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    lsh = (
+        lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), **_ANN_LSH_CONF)
+        .filter(F.col("q_id") < 100)
+        .select(
+            "q_id",
+            F.col("c_id").alias("lsh_nn_id"),
+            F.col("cosine").alias("lsh_cosine"),
+        )
+    )
+    os.makedirs(_ANN_RUN_ROOT, exist_ok=True)
+    tmp = os.path.join(_ANN_RUN_ROOT, f".tmp-{os.getpid()}-{uuid.uuid4().hex}")
+    lsh.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, out)  # atomic publish; fails if a winner exists
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@_q(
+    "ann_lsh_recall",
+    f"""
+WITH brute AS (
+  SELECT q_id, c_id AS nn_id, round(cosine, 4) AS cosine FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS cosine,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) AS rn
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 100
+  ) WHERE rn = 1
+), lsh AS (
+  SELECT q_id, lsh_nn_id, lsh_cosine
+  FROM read_parquet('{_ANN_RUN_ROOT}/lsh_sf0.01_{_ANN_VERSION}/*.parquet')
+)
+SELECT b.q_id, b.nn_id, b.cosine,
+       coalesce(l.lsh_nn_id, -1) AS lsh_nn_id,
+       coalesce(l.lsh_cosine, -2.0) AS lsh_cosine,
+       CAST(CASE WHEN l.lsh_cosine >= b.cosine THEN 1 ELSE 0 END AS INT)
+         AS lsh_hit
+FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id
+""",
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH recall certification (the emb_top1_nn IVF pattern,
+    second ANN family): per query, the brute-force top-1 and the published
+    multi-table multiprobe LSH answer with lsh_hit = (LSH reached the true
+    top-1 cosine).  The xxhash-seeded plane generation has no SQL twin, so
+    the PUBLISHED answers are scored by both engines against the SQL
+    brute-force oracle — certifying the recall the docstring's levers
+    claim (94/100 here vs 47/100 single-table)."""
+    from .functions.similarity import top1_neighbor
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = top1_neighbor(emb, max_queries=100)
+    lsh = spark.read.parquet(_lsh_top1_published(spark, sf_dir))
+    return brute.join(lsh, "q_id", "left").select(
+        "q_id",
+        "nn_id",
+        "cosine",
+        F.coalesce("lsh_nn_id", F.lit(-1)).alias("lsh_nn_id"),
+        F.coalesce("lsh_cosine", F.lit(-2.0)).alias("lsh_cosine"),
+        F.when(F.col("lsh_cosine") >= F.col("cosine"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("lsh_hit"),
+    )
+
+
 _DEDUP_STREAM_ROOT = "/tmp/oplog_spark_dedup_stream_run"
 # bump when the feed construction or the report layout changes
 _DEDUP_STREAM_VERSION = "v1"

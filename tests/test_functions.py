@@ -1511,3 +1511,25 @@ def test_bpe_token_count_vs_python_re(spark):
         i: len(re.findall(TS.BPE_ISH_PATTERN, t)) for i, t in enumerate(texts)
     }
     assert got == want
+
+
+def test_lsh_certified_config_recall_floor(spark):
+    """The ann_lsh_recall driver row's exact configuration must clear a
+    pinned recall floor on the near-uniform sf0.01 embeddings (the
+    partition-hostile worst case) — 94/100 measured, floor 85 so host-
+    independent plane math has headroom without masking a real regression."""
+    from oplog_analyzer_spark.entry_queries import _ANN_LSH_CONF, load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    brute = S.top1_neighbor(emb, max_queries=100).select(
+        "q_id", F.col("cosine").alias("bc")
+    )
+    lsh = S.lsh_bucket_topk(emb, **_ANN_LSH_CONF).filter(F.col("q_id") < 100)
+    hits = (
+        brute.join(lsh, "q_id", "left")
+        .select(
+            F.sum(F.when(F.col("cosine") >= F.col("bc"), 1).otherwise(0)).alias("h")
+        )
+        .collect()[0]["h"]
+    )
+    assert hits >= 85, hits
