@@ -7,7 +7,8 @@ the sample and serialize them to a JSON-lines stats file for later re-join
 (J2, AnalyzeCommand.java:763-822).
 
   spark-submit --py-files dist/oplog_analyzer_spark.zip jobs/run_sample.py \
-    --input <dir> --stats-out <dir> [--ids-per-group N] [--shards N]
+    --input <dir> --stats-out <dir> [--ids-per-group N] [--shards N] \
+    [--style lines|reference [--stats-format json|bson]]
 """
 
 from __future__ import annotations
@@ -30,7 +31,20 @@ def main() -> None:
         "single-document nested layout of SampleCommand.writeStatsAsJson "
         "(java:548-592), written to --stats-out as ONE file",
     )
+    ap.add_argument(
+        "--stats-format",
+        choices=["json", "bson"],
+        help="with --style reference: the reference's --statsFormat option "
+        "(SampleCommand.java:66-67).  Its BSON writer is an explicit TODO "
+        "stub that logs a notice and writes the JSON document into the "
+        ".bson-named file (java:594-601); mirrored exactly — same notice, "
+        "same JSON-in-.bson fallback — so a reference user switching over "
+        "sees identical behavior, including the quirk",
+    )
     args = ap.parse_args()
+    if args.stats_format is not None and args.style != "reference":
+        ap.error("--stats-format only applies with --style reference "
+                 "(the lines layout is Spark-native JSON)")
 
     from pyspark.sql import functions as F
 
@@ -81,6 +95,9 @@ def main() -> None:
             sampling_period=args.stats_out,
             timestamp=datetime.now(timezone.utc).isoformat().replace("+00:00", "Z"),
         )
+        if args.stats_format == "bson":
+            # the reference's exact fallback (SampleCommand.java:594-601)
+            print("BSON stats format not yet implemented, using JSON")
         with open(args.stats_out, "w") as f:
             f.write(doc)
         print(console_report(ns_op_report(sampled)))

@@ -289,6 +289,25 @@ def test_run_sample_cli(spark, transcripts, tmp_path, monkeypatch, capsys):
     assert doc["totalSampled"] == sum(
         c["count"] for s in doc["shards"].values() for c in s["collections"].values()
     )
+
+    # --statsFormat bson parity: the reference's BSON writer is an explicit
+    # TODO stub that logs a notice and writes the JSON document into the
+    # .bson-named file (SampleCommand.java:594-601) — mirrored exactly
+    import pytest
+
+    bson_out = str(tmp_path / "stats_ref.bson")
+    printed = _run(
+        main,
+        ["--input", src, "--stats-out", bson_out, "--ids-per-group", "3",
+         "--style", "reference", "--stats-format", "bson"],
+        monkeypatch, capsys,
+    )
+    assert "BSON stats format not yet implemented, using JSON" in printed
+    with open(bson_out) as f:
+        assert json.load(f)["totalProcessed"] == n_user
+    with pytest.raises(SystemExit):
+        _run(main, ["--input", src, "--stats-out", bson_out,
+                    "--stats-format", "bson"], monkeypatch, capsys)
     assert 0 < doc["totalSampled"] <= doc["totalProcessed"]
 
 
