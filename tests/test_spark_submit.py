@@ -227,3 +227,56 @@ def test_spark_submit_run_tail_drain_resume_and_continuous(
     assert "graceful" in cont_out, cont_out[-2000:]
     assert re.search(r"^ns\s+op\s+", cont_out, re.M), cont_out[-2000:]
     assert _cumulative_total(spark, inp, wd) == expected
+
+
+def test_spark_submit_run_dataset_hygiene_pipeline(spark, tmp_path):
+    """The training-data pipeline end-to-end through REAL spark-submit with
+    --py-files (the cluster launch story): dedup → quality gate → split →
+    pack in one command, JSON summary on stdout, parquet output readable."""
+    import json
+
+    docs = spark.createDataFrame(
+        [
+            (i,
+             f"the quick brown fox number {i % 10} jumps over the lazy dog "
+             f"and that is plenty of words for the gate",
+             "en")
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    inp = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "dataset_out")
+
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.driver.memory=2g",
+            "--py-files", _pkg_zip(tmp_path),
+            os.path.join(REPO, "jobs", "run_dataset.py"),
+            "--input", inp, "--output", out,
+            "--dedup", "exact", "--quality-gate",
+            "--split", "train=0.8,val=0.2",
+            "--pack", "64", "--pack-buckets", "2",
+            "--hash", "md5",
+        ],
+        cwd=str(tmp_path),
+        env=_submit_env(),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["rows_in"] == 30
+    assert summary["rows_after_dedup"] == 10      # 10 distinct texts
+    assert summary["rows_after_quality"] == 10
+    written = spark.read.parquet(out)
+    assert written.count() == 10
+    assert {"split", "bucket", "seq_idx", "oversize"} <= set(written.columns)
