@@ -42,7 +42,7 @@ QUERY_REV = {
     # r6, so each starts at rev 1 — the production xxhash64 forms, not the
     # md5-certification twins
     "dedup_exact": 1,
-    "dedup_minhash_lsh": 2,  # r6: + max_bucket=4096 hot-bucket cap
+    "dedup_minhash_lsh": 3,  # r6: + max_bucket cap; then the numpy signature fast path (default family)
     "sampling_split_counts": 1,
     "sequence_packing": 1,
     # r6 additions: transitive CC dedup clusters (the iterative

@@ -212,6 +212,8 @@ def main() -> None:
                 num_hashes=args.minhash_hashes or 32,
                 bands=args.minhash_bands or 8,
                 threshold=threshold, max_bucket=args.max_bucket,
+                hash_fn="numpy",  # the Arrow fast path; pairs are
+                # exact-jaccard-verified regardless of family
             )
         else:
             pairs = D.simhash_pairs(

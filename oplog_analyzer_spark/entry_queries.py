@@ -1993,11 +1993,13 @@ def packing_md5_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production minhash+LSH shape, bench headliner since r6: the
     band-dependent hot-bucket cap rides along (the clone-flood guard every
-    100 TB caller needs), so the benched plan is the shipped posture."""
+    100 TB caller needs) and, since rev 3, the numpy signature fast path —
+    the benched plan is what run_dataset ships."""
     from .functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, max_bucket=4096
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_bucket=4096,
+        hash_fn="numpy",
     )
 
 

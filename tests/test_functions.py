@@ -163,7 +163,7 @@ def test_minhash_md5_verify_matches_exact_jaccard(docs):
         (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
         for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
     }
-    for hash_fn in ("xxhash64", "md5"):
+    for hash_fn in ("xxhash64", "md5", "numpy"):
         got = {
             (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
             for r in D.minhash_lsh_pairs(
@@ -1533,3 +1533,31 @@ def test_lsh_certified_config_recall_floor(spark):
         .collect()[0]["h"]
     )
     assert hits >= 85, hits
+
+
+def test_minhash_numpy_family_equivalence(docs):
+    """The r6 Arrow fast path ("numpy" family): exact duplicates are ALWAYS
+    candidates (identical shingle sets -> identical signatures in any
+    family), emitted pairs carry exact-jaccard inter/uni, and the result is
+    deterministic and partition-invariant."""
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5, hash_fn="numpy").collect()
+    }
+    # 0/1 byte-identical, 0/4 and 1/4 whitespace/case variants: same shingle
+    # sets, guaranteed candidates in every family
+    assert {(0, 1), (0, 4), (1, 4)} <= set(got)
+    exact = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    for k, v in got.items():
+        assert exact[k] == v, k
+
+    rep = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in D.minhash_lsh_pairs(
+            docs.repartition(7), threshold=0.5, hash_fn="numpy"
+        ).collect()
+    }
+    assert rep == got
