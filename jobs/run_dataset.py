@@ -16,6 +16,7 @@ run_scan/run_tail expose the reference's surface).
     [--split train=0.98,val=0.01,test=0.01] \
     [--sample-strata lang --sample-fractions en=0.5,de=1.0] \
     [--mix-domain source --mix-weights web=5,books=3,code=1] \
+    [--chunk 512] [--chunk-stride 384] [--min-chunk-tokens 64] \
     [--pack 2048] [--pack-buckets N] [--shuffle-seed 7] \
     [--seed 42] [--hash xxhash64|md5]
 
@@ -121,6 +122,17 @@ def main() -> None:
                     help="integer token-share mixture, e.g. web=5,books=3 "
                     "(unlisted domains dropped, downsampling only; "
                     "two-pass: token totals then hash-threshold filter)")
+    ap.add_argument("--chunk", type=int,
+                    help="split docs into token windows of this size before "
+                    "split/pack (adds chunk_idx/chunk_tokens; the text "
+                    "column becomes the chunk text; ids become "
+                    "id||'#'||chunk_idx so downstream hashing stays unique)")
+    ap.add_argument("--chunk-stride", type=int,
+                    help="window stride for --chunk (default = window, "
+                    "i.e. no overlap; must be <= window)")
+    ap.add_argument("--min-chunk-tokens", type=int,
+                    help="with --chunk: drop tail chunks shorter than this "
+                    "(chunk 0 always kept)")
     ap.add_argument("--pack", type=int,
                     help="pack into sequences of at most this many tokens "
                     "(adds bucket/seq_idx/oversize; n_tokens derived from "
@@ -157,6 +169,8 @@ def main() -> None:
     _require("--simhash-blocks", args.dedup == "simhash", "with --dedup simhash")
     _require("--match-blocks", args.dedup == "simhash", "with --dedup simhash")
     _require("--pack-buckets", args.pack is not None, "with --pack")
+    _require("--chunk-stride", args.chunk is not None, "with --chunk")
+    _require("--min-chunk-tokens", args.chunk is not None, "with --chunk")
     _require("--decontam-ngram", args.decontam is not None, "with --decontam")
     _require("--decontam-min-hits", args.decontam is not None, "with --decontam")
     _require("--mix-domain", args.mix_weights is not None, "with --mix-weights")
@@ -304,6 +318,21 @@ def main() -> None:
             seed=args.seed + 3, hash_fn=args.hash,
         )
         df = observe("rows_after_mix", df)
+
+    if args.chunk:
+        chunked = P.chunk_documents(
+            df, id_col=args.id_col, text_col=args.text_col,
+            max_tokens=args.chunk, stride=args.chunk_stride,
+            min_chunk_tokens=args.min_chunk_tokens or 0,
+        )
+        df = chunked.withColumn(
+            args.id_col,
+            F.concat_ws("#", F.col(args.id_col).cast("string"), "chunk_idx"),
+        ).withColumn(args.text_col, F.col("chunk_text")).drop("chunk_text")
+        if "n_tokens" in df.columns:
+            # a pre-chunk token count no longer describes the row
+            df = df.drop("n_tokens")
+        df = observe("rows_after_chunk", df)
 
     persisted = None
     if args.pack:

@@ -2534,6 +2534,40 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_chunks",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), st AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t), 1) + 1, 24)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) // 24 AS INT) AS chunk_idx,
+       CAST(len(t[start : least(start + 31, len(t))]) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(t[start : least(start + 31, len(t))], ' '))
+         AS chunk_md5
+FROM st
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (§2.11): 32-token windows at stride 24
+    (8-token overlap) over every document — one codegen projection + the
+    materialized explode_outer, no shuffle.  The oracle recomputes every
+    window boundary and chunk text from first principles."""
+    from .functions.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, max_tokens=32, stride=24).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 _DEDUP_STREAM_ROOT = "/tmp/oplog_spark_dedup_stream_run"
 # bump when the feed construction or the report layout changes
 _DEDUP_STREAM_VERSION = "v1"

@@ -145,3 +145,77 @@ def shuffle_deterministic(
     exchange + sort; at scale this is the standard pre-training corpus
     shuffle (the sort key is random-uniform, so range partitions balance)."""
     return df.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    stride: int | None = None,
+    min_chunk_tokens: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size token windows — the context-window
+    chunking step (HF-style) that precedes packing when documents exceed
+    the window: chunk k covers tokens [1 + k·stride, 1 + k·stride +
+    max_tokens) of the whitespace token array, the tail chunk may be
+    shorter, and ``stride < max_tokens`` yields overlapping chunks
+    (overlap = max_tokens − stride).
+
+    Returns one row per chunk: all original columns except ``text_col``,
+    plus ``chunk_idx`` (0-based), ``chunk_text``, ``chunk_tokens``.
+    ``min_chunk_tokens`` drops SHORTER TAIL chunks (mostly-overlap
+    fragments under heavy striding) — chunk 0 is always kept, so a doc
+    shorter than the window survives whole.
+
+    Plan: one projection builds the chunk-struct array (slice over a
+    let-bound token array — whole-stage codegen), then the materialized
+    explode_outer pattern (see dedup.ngram_jaccard_pairs for why not plain
+    explode).  No shuffle; chunk rows inherit the document's partitioning.
+    """
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    if stride > max_tokens:
+        raise ValueError(
+            f"stride {stride} > max_tokens {max_tokens} would SKIP tokens "
+            "between consecutive chunks — a silent data hole"
+        )
+    toks_expr = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _chunks(toks: F.Column) -> F.Column:
+        starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+        return F.transform(
+            starts,
+            lambda st, i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.slice(toks, st, max_tokens).alias("ctoks"),
+            ),
+        )
+
+    chunked = (
+        df.withColumn(
+            "__chunks",
+            F.element_at(
+                F.transform(F.array(toks_expr), _chunks), 1
+            ),
+        )
+        .select(
+            *[c for c in df.columns if c != text_col],
+            F.explode_outer("__chunks").alias("__c"),
+        )
+        .filter(F.col("__c").isNotNull())
+        .select(
+            *[c for c in df.columns if c != text_col],
+            F.col("__c.chunk_idx").alias("chunk_idx"),
+            F.concat_ws(" ", F.col("__c.ctoks")).alias("chunk_text"),
+            F.size("__c.ctoks").cast("long").alias("chunk_tokens"),
+        )
+    )
+    if min_chunk_tokens > 0:
+        chunked = chunked.filter(
+            (F.col("chunk_idx") == 0)
+            | (F.col("chunk_tokens") >= min_chunk_tokens)
+        )
+    return chunked

@@ -1561,3 +1561,39 @@ def test_minhash_numpy_family_equivalence(docs):
         ).collect()
     }
     assert rep == got
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from oplog_analyzer_spark.functions.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, "t0 t1 t2 t3 t4 t5 t6"), (1, "short doc"), (2, "x")],
+        "doc_id long, text string",
+    )
+    # window 4, stride 3 -> overlap 1
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(df, max_tokens=4, stride=3).collect()
+    }
+    assert got == {
+        (0, 0): ("t0 t1 t2 t3", 4),
+        (0, 1): ("t3 t4 t5 t6", 4),
+        (0, 2): ("t6", 1),
+        (1, 0): ("short doc", 2),
+        (2, 0): ("x", 1),
+    }
+    # min_chunk_tokens drops the mostly-overlap tail but never chunk 0
+    got2 = {
+        (r["doc_id"], r["chunk_idx"])
+        for r in chunk_documents(
+            df, max_tokens=4, stride=3, min_chunk_tokens=2
+        ).collect()
+    }
+    assert got2 == {(0, 0), (0, 1), (1, 0), (2, 0)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SKIP"):
+        chunk_documents(df, max_tokens=4, stride=5)
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_documents(df, max_tokens=0)

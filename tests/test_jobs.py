@@ -428,6 +428,8 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--mix-weights", "en=0.5"],                          # non-integer share
         ["--dedup", "ngram", "--dedup-threshold", "0.5",
          "--cluster-report", "/tmp/x"],                       # greedy: no clusters
+        ["--chunk-stride", "8"],                              # no --chunk
+        ["--min-chunk-tokens", "4"],
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -456,6 +458,7 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
          "--dedup-policy", "keep_best"],
         ["--pack", "64", "--pack-buckets", "4"],
         ["--mix-domain", "lang", "--mix-weights", "en=3"],
+        ["--chunk", "8", "--chunk-stride", "6", "--pack", "16"],
     ]
     for i, extra in enumerate(cases):
         out = str(tmp_path / f"out_ok_{i}")
