@@ -304,6 +304,7 @@ def main() -> None:
         )
         df = observe("rows_after_sample", df)
 
+    mix_persisted = None
     if args.mix_weights:
         if not args.mix_domain:
             ap.error("--mix-weights requires --mix-domain")
@@ -312,6 +313,11 @@ def main() -> None:
             ap.error("--mix-weights shares must be positive integers "
                      "(integer-exact threshold contract)")
         mix = {k: int(v) for k, v in parsed.items()}
+        # the mixture's token-totals pass is an ACTION mid-pipeline;
+        # persist the pre-mix frame so it fills a cache the final write
+        # reads back instead of re-executing the upstream DAG (the
+        # ADVICE-r05 pack_sequences lesson, same class)
+        mix_persisted = df = df.persist()
         df = SP.domain_mixture_sample(
             df, args.mix_domain, mix,
             id_col=args.id_col, text_col=args.text_col,
@@ -359,6 +365,8 @@ def main() -> None:
     writer.parquet(args.output)
     if persisted is not None:
         persisted.unpersist()
+    if mix_persisted is not None:
+        mix_persisted.unpersist()
 
     summary = {stage: obs.get["rows"] for stage, obs in observations.items()}
     summary["output"] = args.output

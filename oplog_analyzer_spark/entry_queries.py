@@ -2568,6 +2568,44 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dup_span_stats",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), st AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t), 1) + 1, 16)) AS start
+  FROM toks
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(t[start : least(start + 15, len(t))], ' ')) AS ch
+  FROM st
+), freq AS (
+  SELECT ch, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY ch
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       CAST(floor(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) * 10000.0
+            / count(*)) AS BIGINT) AS dup_span_frac_x10000
+FROM chunks c JOIN freq f USING (ch)
+GROUP BY c.doc_id
+""",
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage (§2.11): 16-token windows
+    (stride = window), per doc the fraction of chunks appearing verbatim
+    in another document — the chunk-granularity form of exact substring
+    dedup.  The oracle recomputes chunking, hashing, document frequencies
+    and the coverage ratio from first principles."""
+    from .functions.dedup import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, window=16)
+
+
 _DEDUP_STREAM_ROOT = "/tmp/oplog_spark_dedup_stream_run"
 # bump when the feed construction or the report layout changes
 _DEDUP_STREAM_VERSION = "v1"

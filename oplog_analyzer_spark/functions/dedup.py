@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five strategies, all shuffle-aware:
+Document-level strategies (all shuffle-aware):
 
   exact            hash group-by on normalized text — one shuffle
   ngram_jaccard    word-shingle inverted index + self-join — candidate
@@ -11,6 +11,10 @@ Five strategies, all shuffle-aware:
   simhash          64-bit simhash via per-bit majority vote, banded into
                    4×16-bit chunks for candidate generation
   embedding_cosine near-duplicate pairs by cosine over an embedding column
+
+plus span-level coverage (duplicated_span_stats / boilerplate_chunks —
+chunk-granularity exact substring dedup) and cluster resolution policies
+(cluster_dedup_keep, functions/graph.py components).
 
 All hashing defaults to xxhash64 (JVM-side, seedable by prepending a
 literal), so signatures are deterministic and computed without any Python
@@ -692,4 +696,84 @@ def cluster_dedup_keep(
         return clusters.filter(F.col("id") == F.col("cluster_id")).select("id")
     raise ValueError(
         f"policy must be 'greedy' or 'component_min', got {policy!r}"
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int | None = None,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN coverage — the chunk-granularity
+    approximation of exact substring dedup (Lee et al. 2022 find exact
+    ≥50-token repeats with a suffix array; a distributed engine gets the
+    same signal from fixed token windows): chunk every document
+    (:func:`packing.chunk_documents`), hash each chunk's text, and report
+    per document how many of its chunks also appear verbatim in ANOTHER
+    document.
+
+    Returns ``(id_col, n_chunks, dup_chunks, dup_span_frac_x10000)`` —
+    the standard "how much of this doc is boilerplate/copied" feature
+    (engine-exact ×10000 floored ratio).
+
+    Plan: chunk (no shuffle) → one hash-keyed aggregate counting DISTINCT
+    docs per chunk hash (two-phase, map-side combined; a boilerplate chunk
+    in millions of docs is one hot counter, not a hot join) → broadcast-
+    unfriendly but uniform hash→chunk join → one doc-keyed aggregate.
+    """
+    from .packing import chunk_documents
+
+    chunks = chunk_documents(
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col, text_col=text_col,
+        max_tokens=window, stride=stride,
+    ).select(F.col(id_col).alias("id"), F.md5("chunk_text").alias("ch"))
+    freq = chunks.groupBy("ch").agg(
+        F.count_distinct("id").alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "dup_chunks"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("dup_chunks").cast("long").alias("dup_chunks"),
+            F.floor(F.col("dup_chunks") * 10000 / F.col("n_chunks"))
+            .cast("long")
+            .alias("dup_span_frac_x10000"),
+        )
+    )
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int | None = None,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The span-dedup companion report: chunk hashes appearing in at least
+    ``min_docs`` distinct documents, with their document frequency — the
+    corpus's boilerplate inventory (headers, licenses, templates).  Same
+    plan as duplicated_span_stats up to the frequency aggregate."""
+    from .packing import chunk_documents
+
+    chunks = chunk_documents(
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col, text_col=text_col,
+        max_tokens=window, stride=stride,
+    ).select(F.col(id_col).alias("id"), F.md5("chunk_text").alias("ch"))
+    return (
+        chunks.groupBy("ch")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
     )

@@ -38,7 +38,7 @@ PARKED_ORACLED = {
     # by tools/check_oracles.py, parked only because the window is full.
     "decontam_report", "gopher_repetition", "pii_redaction",
     "dedup_keep_best", "domain_mixture", "dedup_cluster_sizes",
-    "stream_dedup_admitted", "ann_lsh_recall", "doc_chunks",
+    "stream_dedup_admitted", "ann_lsh_recall", "doc_chunks", "dup_span_stats",
 }
 
 

@@ -1597,3 +1597,29 @@ def test_chunk_documents_windows_and_overlap(spark):
         chunk_documents(df, max_tokens=4, stride=5)
     with _pytest.raises(ValueError, match="positive"):
         chunk_documents(df, max_tokens=0)
+
+
+def test_duplicated_span_stats_and_boilerplate(spark):
+    from oplog_analyzer_spark.functions.dedup import (
+        boilerplate_chunks,
+        duplicated_span_stats,
+    )
+
+    shared = "c1 c2 c3 c4"  # one full window shared by docs 0 and 1
+    df = spark.createDataFrame(
+        [
+            (0, f"{shared} a1 a2 a3 a4"),
+            (1, f"{shared} b1 b2 b3 b4"),
+            (2, "z1 z2 z3 z4 z5 z6 z7 z8"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["dup_chunks"], r["dup_span_frac_x10000"])
+        for r in duplicated_span_stats(df, window=4).collect()
+    }
+    # window 4, stride 4: docs 0/1 = chunks [shared, unique]; doc 2 = 2 unique
+    assert got == {0: (2, 1, 5000), 1: (2, 1, 5000), 2: (2, 0, 0)}
+
+    bp = {r["ch"]: r["n_docs"] for r in boilerplate_chunks(df, window=4).collect()}
+    assert list(bp.values()) == [2]  # exactly the shared chunk, in 2 docs
