@@ -12,6 +12,7 @@ run_scan/run_tail expose the reference's surface).
     [--cluster-report <parquet>] [--dedup-threshold 0.8] \
     [--minhash-hashes 32] [--minhash-bands 8] [--max-bucket N] \
     [--simhash-hamming 3] [--simhash-blocks 4] [--match-blocks 1] \
+    [--span-dedup 64] [--span-policy keep_first|drop_all] \
     [--quality-gate] [--repetition-gate] [--redact-pii] \
     [--split train=0.98,val=0.01,test=0.01] \
     [--sample-strata lang --sample-fractions en=0.5,de=1.0] \
@@ -98,6 +99,15 @@ def main() -> None:
     ap.add_argument("--match-blocks", type=int,
                     help="blocks that must agree per simhash candidate "
                     "(default 1; raise with --simhash-blocks at corpus scale)")
+    ap.add_argument("--span-dedup", type=int,
+                    help="remove duplicated token SPANS of this window size "
+                    "(chunks verbatim-shared by >=2 docs; runs after doc-"
+                    "level dedup, before the quality gates — Lee et al. "
+                    "2022's exact-substring removal at chunk granularity)")
+    ap.add_argument("--span-policy", choices=["keep_first", "drop_all"],
+                    help="with --span-dedup: keep_first (default) leaves "
+                    "one copy of each duplicated span in the min-id doc; "
+                    "drop_all strips it everywhere")
     ap.add_argument("--repetition-gate", action="store_true",
                     help="drop docs failing the Gopher-style repetition_ok "
                     "verdict (duplicate-token fraction / top-bigram "
@@ -168,6 +178,7 @@ def main() -> None:
     _require("--simhash-hamming", args.dedup == "simhash", "with --dedup simhash")
     _require("--simhash-blocks", args.dedup == "simhash", "with --dedup simhash")
     _require("--match-blocks", args.dedup == "simhash", "with --dedup simhash")
+    _require("--span-policy", args.span_dedup is not None, "with --span-dedup")
     _require("--pack-buckets", args.pack is not None, "with --pack")
     _require("--chunk-stride", args.chunk is not None, "with --chunk")
     _require("--min-chunk-tokens", args.chunk is not None, "with --chunk")
@@ -270,6 +281,14 @@ def main() -> None:
         )
     if args.dedup:
         df = observe("rows_after_dedup", df)
+
+    if args.span_dedup:
+        base_cols = df.columns
+        df = D.remove_duplicated_spans(
+            df, id_col=args.id_col, text_col=args.text_col,
+            window=args.span_dedup, policy=args.span_policy or "keep_first",
+        ).select(base_cols)
+        df = observe("rows_after_span_dedup", df)
 
     if args.quality_gate:
         base_cols = df.columns

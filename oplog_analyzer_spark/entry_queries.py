@@ -2606,6 +2606,51 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_stats(docs, window=16)
 
 
+@_q(
+    "span_removed_docs",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), st AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t), 1) + 1, 16)) AS start
+  FROM toks
+), chunks AS (
+  SELECT doc_id, start,
+         array_to_string(t[start : least(start + 15, len(t))], ' ') AS ctext,
+         md5(array_to_string(t[start : least(start + 15, len(t))], ' ')) AS ch
+  FROM st
+), freq AS (
+  SELECT ch, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+  FROM chunks GROUP BY ch
+)
+SELECT c.doc_id,
+       coalesce(string_agg(
+         CASE WHEN f.n_docs < 2 OR c.doc_id = f.keeper THEN c.ctext END,
+         ' ' ORDER BY c.start), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.n_docs < 2 OR c.doc_id = f.keeper
+                THEN 0 ELSE 1 END) AS BIGINT) AS dropped_chunks
+FROM chunks c JOIN freq f USING (ch)
+GROUP BY c.doc_id
+""",
+)
+def span_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (§2.11): 16-token windows, keep_first
+    policy — every span appearing in ≥2 docs survives only in the
+    min-doc_id holder; the oracle restitches every document's cleaned
+    text from first principles (string_agg ordered by window start)."""
+    from .functions.dedup import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, window=16).select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        "n_chunks",
+        "dropped_chunks",
+    )
+
+
 _DEDUP_STREAM_ROOT = "/tmp/oplog_spark_dedup_stream_run"
 # bump when the feed construction or the report layout changes
 _DEDUP_STREAM_VERSION = "v1"

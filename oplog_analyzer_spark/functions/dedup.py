@@ -777,3 +777,100 @@ def boilerplate_chunks(
         .agg(F.count_distinct("id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    min_docs: int = 2,
+    policy: str = "keep_first",
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the transform half of
+    :func:`duplicated_span_stats` (Lee et al. 2022 delete exact repeated
+    substrings from the corpus rather than dropping whole documents; at
+    chunk granularity that is: drop every ``window``-token chunk whose
+    text appears verbatim in ``min_docs``-or-more distinct documents, then
+    stitch the surviving chunks back together in order).
+
+    Policies:
+      ``keep_first``  the duplicated span survives in ONE document (the
+                      min-``id_col`` holder, deterministic) and is removed
+                      everywhere else — corpus keeps exactly one copy;
+      ``drop_all``    the span is removed from every document — the
+                      aggressive boilerplate-stripping form.
+
+    Intra-document repeats (same chunk twice in ONE doc) are not touched:
+    frequency counts DISTINCT documents, matching duplicated_span_stats.
+
+    Returns ``df`` with ``text_col`` replaced by the stitched text (empty
+    string when every chunk was removed — compose with quality_ok to drop
+    husks), plus ``n_chunks`` and ``dropped_chunks``.  All other columns
+    survive via one id-keyed join.
+
+    Plan: chunk (narrow, stride = window so spans never overlap) → one
+    hash-keyed DISTINCT-doc count with min-id keeper (map-side combined;
+    a boilerplate chunk in millions of docs is one hot counter) → uniform
+    hash→chunk join → one doc-keyed aggregate stitching kept chunks in
+    chunk_idx order → one id-keyed join back onto ``df``.  No Python in
+    the path.
+    """
+    if policy not in ("keep_first", "drop_all"):
+        raise ValueError(
+            f"policy must be 'keep_first' or 'drop_all', got {policy!r}"
+        )
+    if min_docs < 2:
+        raise ValueError("min_docs < 2 would remove unique spans")
+    from .packing import chunk_documents
+
+    chunks = chunk_documents(
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col, text_col=text_col,
+        max_tokens=window, stride=window,
+    ).select(
+        F.col(id_col).alias("id"),
+        "chunk_idx",
+        "chunk_text",
+        F.md5("chunk_text").alias("ch"),
+    )
+    freq = chunks.groupBy("ch").agg(
+        F.count_distinct("id").alias("n_docs"),
+        F.min("id").alias("keeper"),
+    )
+    keep = F.col("n_docs") < min_docs
+    if policy == "keep_first":
+        keep = keep | (F.col("id") == F.col("keeper"))
+    # collect_list drops NULL elements, so a doc whose every chunk was
+    # removed still aggregates — to an empty array, hence empty text
+    stitched = (
+        chunks.join(freq, "ch")
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                keep,
+                                F.struct("chunk_idx", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("__clean"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias(
+                "dropped_chunks"
+            ),
+        )
+    )
+    return (
+        df.join(
+            stitched.withColumnRenamed("id", id_col), id_col
+        )
+        .withColumn(text_col, F.col("__clean"))
+        .drop("__clean")
+    )

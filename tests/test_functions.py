@@ -1623,3 +1623,42 @@ def test_duplicated_span_stats_and_boilerplate(spark):
 
     bp = {r["ch"]: r["n_docs"] for r in boilerplate_chunks(df, window=4).collect()}
     assert list(bp.values()) == [2]  # exactly the shared chunk, in 2 docs
+
+
+def test_remove_duplicated_spans_policies(spark):
+    from oplog_analyzer_spark.functions.dedup import remove_duplicated_spans
+
+    shared = "c1 c2 c3 c4"
+    df = spark.createDataFrame(
+        [
+            (0, f"{shared} a1 a2 a3 a4", "web"),
+            (1, f"{shared} b1 b2 b3 b4", "web"),
+            (2, shared, "web"),  # nothing but the duplicated span
+        ],
+        "doc_id long, text string, source string",
+    )
+
+    first = {
+        r["doc_id"]: (r["text"], r["dropped_chunks"], r["source"])
+        for r in remove_duplicated_spans(df, window=4).collect()
+    }
+    # keep_first: min doc_id (0) keeps the span; others lose it; doc 2
+    # collapses to empty text; non-text columns ride through the join
+    assert first == {
+        0: (f"{shared} a1 a2 a3 a4", 0, "web"),
+        1: ("b1 b2 b3 b4", 1, "web"),
+        2: ("", 1, "web"),
+    }
+
+    drop = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, window=4, policy="drop_all").collect()
+    }
+    assert drop == {0: "a1 a2 a3 a4", 1: "b1 b2 b3 b4", 2: ""}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="policy"):
+        remove_duplicated_spans(df, policy="nope")
+    with _pytest.raises(ValueError, match="min_docs"):
+        remove_duplicated_spans(df, min_docs=1)

@@ -430,6 +430,7 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
          "--cluster-report", "/tmp/x"],                       # greedy: no clusters
         ["--chunk-stride", "8"],                              # no --chunk
         ["--min-chunk-tokens", "4"],
+        ["--span-policy", "drop_all"],                        # no --span-dedup
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -459,6 +460,7 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
         ["--pack", "64", "--pack-buckets", "4"],
         ["--mix-domain", "lang", "--mix-weights", "en=3"],
         ["--chunk", "8", "--chunk-stride", "6", "--pack", "16"],
+        ["--span-dedup", "8", "--span-policy", "drop_all"],
     ]
     for i, extra in enumerate(cases):
         out = str(tmp_path / f"out_ok_{i}")
