@@ -14,6 +14,8 @@ run_scan/run_tail expose the reference's surface).
     [--simhash-hamming 3] [--simhash-blocks 4] [--match-blocks 1] \
     [--span-dedup 64] [--span-policy keep_first|drop_all] \
     [--quality-gate] [--repetition-gate] [--redact-pii] \
+    [--trigram-gate 5000] [--trigram-top-k 1000] \
+    [--bpe-merges 1000] [--bpe-vocab-words 1000000] \
     [--split train=0.98,val=0.01,test=0.01] \
     [--sample-strata lang --sample-fractions en=0.5,de=1.0] \
     [--mix-domain source --mix-weights web=5,books=3,code=1] \
@@ -112,6 +114,13 @@ def main() -> None:
                     help="drop docs failing the Gopher-style repetition_ok "
                     "verdict (duplicate-token fraction / top-bigram "
                     "fraction, with the short-doc saturation guard)")
+    ap.add_argument("--trigram-gate", type=int,
+                    help="drop docs whose corpus-trigram coverage "
+                    "(trigram_cov_x10000, the CCNet-perplexity analog) is "
+                    "below this; model = the post-dedup corpus's top "
+                    "trigrams")
+    ap.add_argument("--trigram-top-k", type=int,
+                    help="model size for --trigram-gate (default 1000)")
     ap.add_argument("--redact-pii", action="store_true",
                     help="replace emails/IPv4/phones in the text column "
                     "with typed tokens (one codegen projection) before "
@@ -120,6 +129,15 @@ def main() -> None:
                     help="drop docs failing the quality_score gate "
                     "(quality_ok: >=5 tokens, punctuation < 1/4 of bytes, "
                     ">=1 stopword type)")
+    ap.add_argument("--bpe-merges", type=int,
+                    help="learn a BPE merge table of this size on the "
+                    "post-gate corpus (one word-count scan + bounded "
+                    "collect) and set n_tokens to the REAL subword count "
+                    "for --pack (functions/bpe.py); ignored by --chunk, "
+                    "which re-windows on whitespace tokens")
+    ap.add_argument("--bpe-vocab-words", type=int,
+                    help="word-frequency table cap for --bpe-merges "
+                    "(default 1000000)")
     ap.add_argument("--split",
                     help="deterministic hash split, e.g. train=0.98,val=0.01,test=0.01")
     ap.add_argument("--sample-strata", help="stratum column for --sample-fractions")
@@ -179,6 +197,10 @@ def main() -> None:
     _require("--simhash-blocks", args.dedup == "simhash", "with --dedup simhash")
     _require("--match-blocks", args.dedup == "simhash", "with --dedup simhash")
     _require("--span-policy", args.span_dedup is not None, "with --span-dedup")
+    _require("--trigram-top-k", args.trigram_gate is not None,
+             "with --trigram-gate")
+    _require("--bpe-vocab-words", args.bpe_merges is not None,
+             "with --bpe-merges")
     _require("--pack-buckets", args.pack is not None, "with --pack")
     _require("--chunk-stride", args.chunk is not None, "with --chunk")
     _require("--min-chunk-tokens", args.chunk is not None, "with --chunk")
@@ -295,6 +317,23 @@ def main() -> None:
         df = TS.quality_score(df, args.text_col).filter("quality_ok").select(base_cols)
         df = observe("rows_after_quality", df)
 
+    trigram_persisted = None
+    if args.trigram_gate is not None:
+        # the self-scoring model rides a broadcast-exchange subplan that
+        # would re-execute the whole upstream DAG; persist so both the
+        # model pass and the scoring pass read the cache
+        trigram_persisted = df = df.persist()
+        cov = TS.trigram_coverage(
+            df, id_col=args.id_col, text_col=args.text_col,
+            top_k=args.trigram_top_k or 1000,
+        )
+        df = df.join(
+            cov.filter(F.col("trigram_cov_x10000") >= args.trigram_gate)
+            .select(F.col(args.id_col)),
+            args.id_col, "left_semi",
+        )
+        df = observe("rows_after_trigram", df)
+
     if args.repetition_gate:
         ok = TS.repetition_ok(df, id_col=args.id_col, text_col=args.text_col)
         df = df.join(
@@ -307,6 +346,23 @@ def main() -> None:
         base_cols = df.columns
         df = TS.redact_pii(df, text_col=args.text_col, out_col="__redacted")
         df = df.withColumn(args.text_col, F.col("__redacted")).select(base_cols)
+
+    bpe_persisted = None
+    if args.bpe_merges:
+        from oplog_analyzer_spark.functions import bpe as B
+
+        # learning collects the word-frequency table — an action; persist
+        # so the learn scan and the final write share one upstream pass
+        bpe_persisted = df = df.persist()
+        merges = B.bpe_learn_merges(
+            df, text_col=args.text_col, num_merges=args.bpe_merges,
+            max_vocab_words=args.bpe_vocab_words or 1_000_000,
+        )
+        df = (
+            B.bpe_encode(df, merges, text_col=args.text_col)
+            .withColumn("n_tokens", F.col("n_bpe_tokens"))
+            .drop("bpe_tokens", "n_bpe_tokens")
+        )
 
     if args.split:
         df = SP.hash_split(
@@ -386,6 +442,10 @@ def main() -> None:
         persisted.unpersist()
     if mix_persisted is not None:
         mix_persisted.unpersist()
+    if trigram_persisted is not None:
+        trigram_persisted.unpersist()
+    if bpe_persisted is not None:
+        bpe_persisted.unpersist()
 
     summary = {stage: obs.get["rows"] for stage, obs in observations.items()}
     summary["output"] = args.output

@@ -2651,6 +2651,50 @@ def span_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "trigram_quality",
+    r"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), pos AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS i
+  FROM base
+), tg AS (
+  SELECT doc_id, t[i : i + 2] AS g FROM pos
+), model AS (
+  SELECT g FROM (
+    SELECT g, count(*) AS c FROM tg GROUP BY g
+    ORDER BY c DESC, g ASC LIMIT 500
+  )
+), scored AS (
+  SELECT tg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(sum(CASE WHEN m.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS top_hits
+  FROM tg LEFT JOIN model m ON tg.g = m.g
+  GROUP BY tg.doc_id
+)
+SELECT b.doc_id,
+       coalesce(s.n_trigrams, 0) AS n_trigrams,
+       coalesce(s.top_hits, 0) AS top_hits,
+       CAST(CASE WHEN coalesce(s.n_trigrams, 0) = 0 THEN 0
+            ELSE floor(s.top_hits * 10000.0 / s.n_trigrams) END AS BIGINT)
+         AS trigram_cov_x10000
+FROM base b LEFT JOIN scored s USING (doc_id)
+""",
+)
+def trigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model quality scoring (§2.11): the integer-exact analog of
+    CCNet's KenLM perplexity filter — per-doc coverage of the corpus's
+    top-500 character trigrams.  The oracle re-derives the model (with the
+    deterministic count-desc/trigram-asc cut) and every doc's score."""
+    from .functions.textstats import trigram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_coverage(docs, top_k=500)
+
+
 _DEDUP_STREAM_ROOT = "/tmp/oplog_spark_dedup_stream_run"
 # bump when the feed construction or the report layout changes
 _DEDUP_STREAM_VERSION = "v1"

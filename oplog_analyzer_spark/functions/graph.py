@@ -28,10 +28,17 @@ Spark mechanics that matter at 10⁹ nodes:
 * ``localCheckpoint(eager=True)`` after every round truncates lineage —
   without it the logical plan doubles per iteration and the driver chokes
   compiling round ~15 (the classic iterative-DataFrame failure mode);
-* convergence is detected with one cheap fingerprint aggregate per round
-  (edge count + sum of xxhash64 over the canonical edge set — the set is
-  ``distinct``-ed, so multiset collisions don't arise) instead of an
-  ``exceptAll`` diff, which would cost a full extra shuffle per round.
+* convergence is detected STRUCTURALLY, before each round: the canonical
+  edge set is the alternation's fixpoint iff it is a disjoint union of
+  stars (every child ``u`` appears in exactly one edge and never as a
+  parent ``v``) — canonical edges keep ``u > v``, so a star's root is
+  below all its leaves, and since both operators preserve connectivity
+  (the paper's invariant) a star-shaped edge set means every component is
+  already one min-rooted star.  Checking the shape costs one role-count
+  aggregate; checking it BEFORE the round (not fingerprint stability
+  AFTER, the r1–r5 design) both saves the redundant fixpoint-confirming
+  round — at 10⁹ nodes a round is ~4 shuffles — and makes already-resolved
+  edge lists (re-runs, incremental batches) a zero-round no-op.
 
 Reference anchors (semantics being extended, not copied):
 TailCommand.java's dedup has no transitive mode — this module is part of
@@ -91,6 +98,32 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _is_star_forest(e: DataFrame) -> bool:
+    """True iff the canonical edge set is a disjoint union of stars: every
+    child ``u`` appears in exactly one edge and no node is both child and
+    parent.  With ``u > v`` invariant each star's root is its minimum, and
+    since the star operators preserve connectivity, star-forest ⇔ the
+    alternation's fixpoint ⇔ edges ARE the (node → component-min) labels.
+    One role-count aggregate (node-keyed shuffle + global sum)."""
+    roles = e.select(
+        F.col("u").alias("x"), F.lit(1).alias("c"), F.lit(0).alias("p")
+    ).union(
+        e.select(F.col("v").alias("x"), F.lit(0).alias("c"), F.lit(1).alias("p"))
+    )
+    row = (
+        roles.groupBy("x")
+        .agg(F.sum("c").alias("c"), F.max("p").alias("p"))
+        .agg(
+            F.sum(
+                F.when((F.col("c") > 1) | ((F.col("c") >= 1) & (F.col("p") == 1)), 1)
+                .otherwise(0)
+            ).alias("viol")
+        )
+        .first()
+    )
+    return (row["viol"] or 0) == 0
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -102,13 +135,14 @@ def connected_components(
     node id (its canonical representative), with one row per non-isolated
     node INCLUDING the representatives themselves.
 
-    Alternates large-star/small-star until the canonical edge set's
-    fingerprint is stable — at the alternation's fixpoint the edge set is
-    exactly the union of stars (u → component-min), which IS the label
-    assignment.  Raises after ``max_iter`` rounds rather than returning a
-    partially-contracted labeling (silent under-merging would ship
-    duplicates into a training set); the bound is generous — the paper
-    gives O(log² n) rounds, and real near-dup graphs converge in < 10.
+    Alternates large-star/small-star until the canonical edge set is a
+    star forest (see :func:`_is_star_forest` — the structural fixpoint
+    test, checked BEFORE each round so convergence costs no extra round
+    and already-resolved inputs run zero rounds).  Raises after
+    ``max_iter`` rounds rather than returning a partially-contracted
+    labeling (silent under-merging would ship duplicates into a training
+    set); the bound is generous — the paper gives O(log² n) rounds, and
+    real near-dup graphs converge in < 10.
 
     Ids may be any orderable type (long doc ids, string conv ids);
     "minimum" follows Spark's ordering for the type.
@@ -117,17 +151,10 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=True)
 
-    prev_fp = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        fp = (row["n"], row["h"])
-        if fp == prev_fp:
+    for _ in range(max_iter + 1):
+        if _is_star_forest(e):
             break
-        prev_fp = fp
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "

@@ -262,3 +262,97 @@ def bpe_token_count(
     return df.withColumn(
         out_col, F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long")
     )
+
+
+# --- corpus-model quality scoring (CCNet-style, Wenzek et al. 2020) ----------
+
+def _char_trigrams(text_col: str) -> F.Column:
+    """Array of character trigrams of lower(trim(text)); < 3 chars → empty.
+    The guard matters: Spark's ``sequence(1, 0)`` counts DOWN ([1, 0]),
+    it does not return empty like DuckDB's ``range(1, 1)``."""
+    t = F.lower(F.trim(F.col(text_col)))
+    n = F.length(t)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_model(
+    df: DataFrame, text_col: str = "text", top_k: int = 1000
+) -> DataFrame:
+    """The corpus language model behind :func:`trigram_coverage`: the
+    ``top_k`` most frequent character trigrams, tie-broken (count desc,
+    trigram asc) so the cut is deterministic in both engines.
+
+    Plan: one projection builds the trigram array, one explode, one
+    map-side-combined count aggregate, then TakeOrderedAndProject — the
+    word-count shape.  Returns ``(g, c)``, at most ``top_k`` rows (small:
+    broadcast it into the scoring join)."""
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    exploded = df.select(
+        F.explode_outer(_char_trigrams(text_col)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    return (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(top_k)
+    )
+
+
+def trigram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 1000,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-model quality score — the integer-exact analog of CCNet's
+    per-document language-model perplexity filter (Wenzek et al. 2020
+    score docs with a KenLM model trained on a trusted corpus; with no
+    model artifacts allowed, the same fluency signal comes from n-gram
+    COVERAGE): the fraction of a document's character trigrams found in
+    the corpus's ``top_k`` most frequent trigrams.  Fluent text is built
+    from common trigrams; gibberish, wrong-charset and boilerplate-code
+    rows sit in the tail.  Pass ``model`` (any ``(g, ...)`` frame, e.g. a
+    persisted :func:`trigram_model` of a TRUSTED corpus) to score against
+    an external reference instead of self-scoring.
+
+    Returns ``(id_col, n_trigrams, top_hits, trigram_cov_x10000)`` for
+    EVERY input row (zero-trigram docs score 0).  Ratio is ×10000 floored
+    — engine-exact, no floats.
+
+    Plan: two corpus scans (one per pass — the model pass is one
+    map-side-combined count; persist upstream if it is expensive), then
+    explode → broadcast hash join against the ≤``top_k``-row model →
+    one doc-keyed aggregate.  No Python anywhere.
+    """
+    if model is None:
+        model = trigram_model(df, text_col=text_col, top_k=top_k)
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(_char_trigrams(text_col)).alias("g")
+    )
+    hit = F.broadcast(model.select("g").withColumn("__hit", F.lit(1)))
+    scored = (
+        exploded.join(hit, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("g").cast("long").alias("n_trigrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("top_hits"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_trigrams",
+        "top_hits",
+        F.when(F.col("n_trigrams") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("top_hits") * 10000 / F.col("n_trigrams")))
+        .cast("long")
+        .alias("trigram_cov_x10000"),
+    )

@@ -1249,6 +1249,24 @@ def test_connected_components_string_ids_and_empty(spark):
     assert G.connected_components(empty).count() == 0
 
 
+def test_connected_components_star_input_zero_rounds(spark, monkeypatch):
+    """An already-resolved edge list (min-rooted star forest) must be
+    detected BEFORE the first round — the structural fixpoint test."""
+    from oplog_analyzer_spark.functions import graph as G
+
+    calls = []
+    orig = G._large_star
+    monkeypatch.setattr(
+        G, "_large_star", lambda e: (calls.append(1), orig(e))[1]
+    )
+    df = spark.createDataFrame(
+        [(5, 1), (7, 1), (9, 2)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in G.connected_components(df).collect()}
+    assert got == {1: 1, 5: 1, 7: 1, 9: 2, 2: 2}
+    assert calls == []
+
+
 def test_dedup_clusters_and_size_stats(spark):
     from oplog_analyzer_spark.functions import graph as G
 
@@ -1662,3 +1680,113 @@ def test_remove_duplicated_spans_policies(spark):
         remove_duplicated_spans(df, policy="nope")
     with _pytest.raises(ValueError, match="min_docs"):
         remove_duplicated_spans(df, min_docs=1)
+
+
+def test_trigram_model_and_coverage(spark):
+    from oplog_analyzer_spark.functions.textstats import (
+        trigram_coverage,
+        trigram_model,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "aaaa"),     # trigrams: aaa, aaa
+            (1, "aaab"),     # aaa, aab
+            (2, "xyzw"),     # xyz, yzw — the tail
+            (3, "ab"),       # < 3 chars → zero trigrams
+            (4, None),       # NULL text → zero trigrams
+        ],
+        "doc_id long, text string",
+    )
+    # counts: aaa=3, aab=1, xyz=1, yzw=1 → top_2 = aaa then aab (tie on 1
+    # broken trigram-asc)
+    model = {r["g"]: r["c"] for r in trigram_model(df, top_k=2).collect()}
+    assert model == {"aaa": 3, "aab": 1}
+
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["top_hits"], r["trigram_cov_x10000"])
+        for r in trigram_coverage(df, top_k=2).collect()
+    }
+    assert got == {
+        0: (2, 2, 10000),
+        1: (2, 2, 10000),
+        2: (2, 0, 0),
+        3: (0, 0, 0),   # zero-trigram docs still emitted, score 0
+        4: (0, 0, 0),
+    }
+
+    # external-model scoring: against doc 2's own trigrams, doc 2 is fluent
+    ext = trigram_model(df.filter("doc_id = 2"), top_k=10)
+    got2 = {
+        r["doc_id"]: r["trigram_cov_x10000"]
+        for r in trigram_coverage(df, model=ext).collect()
+    }
+    assert got2[2] == 10000 and got2[0] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_k"):
+        trigram_model(df, top_k=0)
+
+
+def test_bpe_learn_classic_corpus(spark):
+    """The Sennrich et al. 2016 worked example: low×5 lower×2 newest×6
+    widest×3 — the first five merges are hand-computable."""
+    from oplog_analyzer_spark.functions.bpe import bpe_learn_merges
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame(
+        [(0, " ".join(words[:8])), (1, " ".join(words[8:]))],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn_merges(df, num_merges=5)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+    ]
+    # determinism across partitioning
+    assert bpe_learn_merges(df.repartition(7), num_merges=5) == merges
+    # merge budget past full merging just stops
+    all_merges = bpe_learn_merges(df, num_merges=10_000)
+    assert len(all_merges) < 100
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_merges"):
+        bpe_learn_merges(df, num_merges=0)
+
+
+def test_bpe_encode_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from oplog_analyzer_spark.functions.bpe import (
+        bpe_detokenize,
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "low low low low low lower lower"),
+         (1, "newest newest newest newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn_merges(train, num_merges=5)
+
+    df = spark.createDataFrame(
+        [(0, "newest low"), (1, "Zebra"), (2, None), (3, "  spaced   out ")],
+        "doc_id long, text string",
+    )
+    enc = bpe_encode(df, merges)
+    got = {r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"]) for r in enc.collect()}
+    # ranks: es, est, est</w>, lo, low — newest → n e w est</w>; low → low </w>
+    assert got[0] == (["n", "e", "w", "est</w>", "low", "</w>"], 6)
+    # unseen word degrades to characters (lowercased), never fails
+    assert got[1][0] == ["z", "e", "b", "r", "a", "</w>"]
+    assert got[2] == ([], 0)
+
+    # detokenization contract: join tokens, markers → spaces, == lowered
+    # whitespace-normalized input
+    rt = {
+        r["doc_id"]: r["rt"]
+        for r in enc.select("doc_id", bpe_detokenize().alias("rt")).collect()
+    }
+    assert rt == {0: "newest low", 1: "zebra", 2: "", 3: "spaced out"}

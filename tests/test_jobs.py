@@ -431,6 +431,8 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--chunk-stride", "8"],                              # no --chunk
         ["--min-chunk-tokens", "4"],
         ["--span-policy", "drop_all"],                        # no --span-dedup
+        ["--trigram-top-k", "100"],                           # no --trigram-gate
+        ["--bpe-vocab-words", "100"],                         # no --bpe-merges
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -461,6 +463,8 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
         ["--mix-domain", "lang", "--mix-weights", "en=3"],
         ["--chunk", "8", "--chunk-stride", "6", "--pack", "16"],
         ["--span-dedup", "8", "--span-policy", "drop_all"],
+        ["--trigram-gate", "5000", "--trigram-top-k", "200"],
+        ["--bpe-merges", "20", "--bpe-vocab-words", "500", "--pack", "32"],
     ]
     for i, extra in enumerate(cases):
         out = str(tmp_path / f"out_ok_{i}")
