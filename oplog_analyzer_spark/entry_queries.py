@@ -2815,6 +2815,159 @@ def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_stream_published(spark: SparkSession, sf_dir: str) -> str:
+    """Two-drain streaming NEAR-dup (minhash/LSH admission) over the same
+    deterministic id-ordered feed pattern as :func:`_dedup_stream_published`,
+    with planted near-duplicates: every ``doc_id % 5 == 0`` document
+    reappears in drain 2 under ``id + 1_000_000`` with ``' qq zz'``
+    appended — a high-but-not-exact jaccard clone, so cross-drain
+    signature-estimate rejection is exercised non-vacuously alongside the
+    corpus's natural near-dups."""
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.dedup_stream import NearDupStream
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_DEDUP_STREAM_ROOT, "neardup-" + _DEDUP_STREAM_VERSION, tag)
+    if os.path.exists(os.path.join(out, "_PUBLISHED")):
+        return out
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    work = os.path.join(
+        _DEDUP_STREAM_ROOT, f".tmp-nd-{os.getpid()}-{uuid.uuid4().hex}"
+    )
+    input_dir = os.path.join(work, "input")
+    stream_dir = os.path.join(work, "stream")
+    os.makedirs(input_dir, exist_ok=True)
+
+    def _land(frame, stage_name: str, prefix: str) -> None:
+        stage = os.path.join(work, stage_name)
+        frame.write.mode("overwrite").parquet(stage)
+        k = 0
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(stage, f),
+                    os.path.join(input_dir, f"{prefix}-{k}.parquet"),
+                )
+                k += 1
+
+    def _stream() -> NearDupStream:
+        return NearDupStream(
+            spark, input_dir, stream_dir,
+            num_hashes=16, bands=4, min_match=12, hash_fn="md5",
+            max_files_per_trigger=64,
+        )
+
+    _land(docs.filter(F.col("doc_id") <= mid), "stage1", "half1")
+    _stream().run_available()
+
+    upper = docs.filter(F.col("doc_id") > mid)
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    _land(upper.unionByName(planted), "stage2", "half2")
+    _stream().run_available()
+
+    report_dir = os.path.join(work, "out")
+    _stream().verdicts().write.mode("overwrite").parquet(
+        os.path.join(report_dir, "verdicts")
+    )
+    open(os.path.join(report_dir, "_PUBLISHED"), "w").close()
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(report_dir, out)  # atomic publish
+    except OSError:
+        pass  # a concurrent winner published first — use theirs
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _stream_neardup_oracle(num_hashes: int, bands: int, min_match: int) -> str:
+    """DuckDB twin of the NearDupStream certification feed: recompute the
+    md5 minhash signatures, band buckets, candidate pairs (predecessor =
+    smaller id — the feed is id-ordered and each drain is one micro-batch)
+    and the integer signature-match rejects from first principles."""
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(CAST(('0x' || substr(md5('{i}:' || s), 1, 8)) AS BIGINT)) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band, md5({expr}) AS bucket FROM mins".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH feed AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text || ' qq zz' FROM documents
+  WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT id, string_split_regex(trim(text), '\\s+') AS t FROM feed
+), shing AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM toks
+), ex AS (
+  SELECT id, unnest(sh) AS s FROM shing
+), mins AS (
+  SELECT id,
+         {mins}
+  FROM ex GROUP BY id
+), banded AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+), rej AS (
+  SELECT DISTINCT c.id_b AS id
+  FROM cand c
+  JOIN mins a ON a.id = c.id_a
+  JOIN mins b ON b.id = c.id_b
+  WHERE {matches} >= {min_match}
+)
+SELECT f.id AS doc_id, (r.id IS NULL) AS admitted
+FROM feed f LEFT JOIN rej r ON f.id = r.id
+"""
+
+
+@_q("stream_neardup_verdicts", _stream_neardup_oracle(16, 4, 12))
+def stream_neardup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup certification (§2.11 × streaming): two
+    checkpoint-resumed drains of minhash/LSH admission (greedy-predecessor
+    semantics, integer signature-match threshold) must equal the one-pass
+    first-principles computation — per doc, the admit/reject verdict.  The
+    oracle rebuilds signatures, buckets, candidates and rejects in SQL
+    over the equivalent bounded feed."""
+    out = _neardup_stream_published(spark, sf_dir)
+    import os
+
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
+    return verdicts.select(
+        F.col("id").cast("long").alias("doc_id"), "admitted"
+    )
+
+
 @_q(
     "dedup_cluster_sizes",
     r"""

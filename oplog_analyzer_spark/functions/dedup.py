@@ -260,6 +260,59 @@ def _numpy_minhash_batches(num_hashes: int):
     return _gen
 
 
+def minhash_banded(
+    sigs: DataFrame, num_hashes: int, bands: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """LSH banding over a ``minhash_signatures`` frame: ``(id, band,
+    bucket)``, one row per (doc, band).  Shared by the batch pipeline
+    (:func:`minhash_lsh_pairs`) and the streaming form
+    (``streaming/dedup_stream.py::NearDupStream``) so the two can never
+    disagree on what a bucket is.
+
+    Expression shape: the band array is materialized in its own
+    projection, then explode_outer + null-filter — keeps the band
+    expressions (and, in numpy mode, the PythonUDF signature column,
+    unevaluable inside a Generate or an inferred filter) out of the
+    Generate node (the explode_outer pattern, see ngram_jaccard_pairs)."""
+    rows_per_band = num_hashes // bands
+
+    def band_bucket(b: int) -> F.Column:
+        slice_cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in slice_cols]))
+        return F.xxhash64(*slice_cols)
+
+    return (
+        sigs.select(
+            "id",
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            ).alias("__bb"),
+        )
+        .select("id", F.explode_outer("__bb").alias("bb"))
+        .filter(F.col("bb").isNotNull())
+        .select("id", "bb.band", "bb.bucket")
+    )
+
+
+def signature_match_count(sig_a: F.Column, sig_b: F.Column) -> F.Column:
+    """Matching-component count between two equal-length minhash
+    signatures — ``matches / num_hashes`` is the standard unbiased
+    estimator of jaccard similarity.  Integer-exact (the streaming
+    near-dup threshold is expressed as ``min_match`` components, never a
+    float ratio)."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -312,36 +365,8 @@ def minhash_lsh_pairs(
     md5 hex of the comma-joined band slice, which DuckDB reproduces as
     ``md5(CAST(m0 AS VARCHAR) || ',' || ...)`` — the driver-oracled mode.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
-
-    def band_bucket(b: int) -> F.Column:
-        slice_cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if hash_fn == "md5":
-            return F.md5(F.concat_ws(",", *[c.cast("string") for c in slice_cols]))
-        return F.xxhash64(*slice_cols)
-
-    # materialize the band array in its own projection, then explode_outer
-    # + null-filter: keeps the band expressions (and, in numpy mode, the
-    # PythonUDF signature column — unevaluable inside a Generate or an
-    # inferred filter) out of the Generate node (the explode_outer pattern,
-    # see ngram_jaccard_pairs)
-    banded = (
-        sigs.select(
-            "id",
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            ).alias("__bb"),
-        )
-        .select("id", F.explode_outer("__bb").alias("bb"))
-        .filter(F.col("bb").isNotNull())
-        .select("id", "bb.band", "bb.bucket")
-    )
+    banded = minhash_banded(sigs, num_hashes, bands, hash_fn)
     if max_bucket is not None:
         # band-dependent order: different bands keep different members
         cap_w = Window.partitionBy("band", "bucket").orderBy(

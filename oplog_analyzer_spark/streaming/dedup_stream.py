@@ -1,5 +1,6 @@
-"""Streaming exact deduplication — admit each distinct text once across an
-unbounded document feed.
+"""Streaming deduplication — exact (:class:`DedupStream`) and near-dup
+(:class:`NearDupStream`, minhash/LSH) admission across an unbounded
+document feed.
 
 The batch §2.11 family dedups a bounded corpus; a continuously-ingesting
 training pipeline needs the STREAMING form: documents arrive in micro-
@@ -211,3 +212,257 @@ class DedupStream:
         """Per-hash duplicate counts for hashes seen more than once —
         the streaming twin of exact_dedup's dup_count report."""
         return self.admitted().filter(F.col("dup_count") > 1)
+
+
+class NearDupStream:
+    """Resumable streaming NEAR-dup dedup — MinHash/LSH admission over a
+    growing parquet feed: a document is rejected iff some PREDECESSOR
+    (earlier micro-batch, or a smaller id within the same batch) shares an
+    LSH band bucket with it and their signatures agree on at least
+    ``min_match`` of ``num_hashes`` components (matches/num_hashes is the
+    unbiased jaccard estimator; the threshold is an integer component
+    count, so the decision is engine-exact and SQL-certifiable in md5
+    mode).
+
+    Greedy-PREDECESSOR semantics, deliberately matching the batch
+    pipeline's default ``cluster_dedup_keep(policy="greedy")`` (reject any
+    doc that is the later member of a near-dup pair, whether or not the
+    earlier member was itself admitted): that makes the reject set
+    APPEND-ONLY — a doc's verdict depends only on the feed prefix before
+    it, never on later arrivals or on other verdicts — which is what makes
+    the stream incremental:
+
+      per batch   signatures + band buckets for the batch are written to
+                  their own ``batch_id=<k>/`` index partitions (overwrite:
+                  at-least-once foreachBatch replays are no-op rewrites),
+                  then ONE join of the batch's buckets against the
+                  cumulative index (plus the within-batch self-join)
+                  verifies candidates by signature match-count and appends
+                  the batch's rejects — batch × cumulative, never
+                  cumulative × cumulative;
+      admitted()  one anti-join of the id index against the reject set.
+
+    The per-batch cumulative-index read is the honest cost term; at 10⁹
+    docs the index partials are (band, bucket)-keyed parquet, so a
+    bucket-partitioned layout (partitionBy band) turns the join into a
+    pruned read — noted as the scale lever, not implemented here.
+
+    Verification uses the SIGNATURE estimate, not exact shingle jaccard
+    (the batch pipeline's verifier): storing shingle sets per admitted doc
+    would make the index row-sized in text length.  The estimator's
+    variance is the documented trade — raise ``num_hashes``/``min_match``
+    to tighten it.
+
+    Reference anchor: composes the reference's resumable-tail machinery
+    (checkpoint + idempotent per-batch sinks) with §2.11 near-dup
+    semantics — beyond-reference by design, like :class:`DedupStream`.
+    """
+
+    _META_FIELDS = (
+        "id_col", "text_col", "schema", "num_hashes", "bands",
+        "min_match", "shingle_n", "hash_fn",
+    )
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        work_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        schema: str = DOCS_SCHEMA,
+        num_hashes: int = 16,
+        bands: int = 4,
+        min_match: int = 12,
+        shingle_n: int = 3,
+        hash_fn: str = "md5",
+        max_files_per_trigger: int = 8,
+    ) -> None:
+        if not (1 <= min_match <= num_hashes):
+            raise ValueError("min_match must be in [1, num_hashes]")
+        if num_hashes % bands != 0:
+            raise ValueError("bands must divide num_hashes")
+        self.spark = spark
+        self.input_dir = input_dir
+        self.work_dir = work_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.schema = schema
+        self.num_hashes = int(num_hashes)
+        self.bands = int(bands)
+        self.min_match = int(min_match)
+        self.shingle_n = int(shingle_n)
+        self.hash_fn = hash_fn
+        self.max_files_per_trigger = int(max_files_per_trigger)
+        self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
+        self.sigs_dir = os.path.join(work_dir, "sigs")
+        self.buckets_dir = os.path.join(work_dir, "buckets")
+        self.rejects_dir = os.path.join(work_dir, "rejects")
+        self._enforce_meta()
+
+    # meta pinning — same contract (and code shape) as DedupStream
+    def _meta(self) -> dict:
+        return {k: getattr(self, k) for k in self._META_FIELDS}
+
+    def _enforce_meta(self) -> None:
+        path = os.path.join(self.work_dir, "neardup_meta.json")
+        mine = self._meta()
+        if os.path.exists(path):
+            with open(path) as f:
+                pinned = json.load(f)
+            diffs = {
+                k: (pinned.get(k), mine[k])
+                for k in self._META_FIELDS
+                if pinned.get(k) != mine[k]
+            }
+            if diffs:
+                raise ValueError(
+                    f"work_dir {self.work_dir} was created with a different "
+                    f"near-dup-stream configuration (use a fresh work_dir): "
+                    f"{diffs}"
+                )
+            return
+        os.makedirs(self.work_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(mine, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    # -- per-batch transform ---------------------------------------------
+    def _read_index(self, base_dir: str, empty_schema: str) -> DataFrame:
+        if not os.path.isdir(base_dir):
+            return self.spark.createDataFrame([], empty_schema)
+        return self.spark.read.option("basePath", base_dir).parquet(
+            os.path.join(base_dir, "batch_id=*")
+        )
+
+    def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..functions.dedup import (
+            minhash_banded,
+            minhash_signatures,
+            signature_match_count,
+        )
+
+        sigs = minhash_signatures(
+            batch, self.id_col, self.text_col,
+            self.num_hashes, self.shingle_n, self.hash_fn,
+        )
+        # the batch is re-derived per sink below; micro-batches are small
+        # by construction (maxFilesPerTrigger) so persist, write, reuse
+        sigs = sigs.persist()
+        try:
+            sigs.write.mode("overwrite").parquet(
+                os.path.join(self.sigs_dir, f"batch_id={batch_id}")
+            )
+            banded = minhash_banded(
+                sigs, self.num_hashes, self.bands, self.hash_fn
+            )
+            banded.write.mode("overwrite").parquet(
+                os.path.join(self.buckets_dir, f"batch_id={batch_id}")
+            )
+
+            prev_b = self._read_index(
+                self.buckets_dir, "id long, band int, bucket string, batch_id long"
+            ).filter(F.col("batch_id") < batch_id)
+            prev_s = self._read_index(
+                self.sigs_dir, "id long, sig array<long>, batch_id long"
+            ).filter(F.col("batch_id") < batch_id)
+
+            cross = (
+                prev_b.alias("a")
+                .join(
+                    banded.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket")),
+                )
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            )
+            within = (
+                banded.alias("x")
+                .join(
+                    banded.alias("y"),
+                    (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.bucket") == F.col("y.bucket"))
+                    & (F.col("x.id") < F.col("y.id")),
+                )
+                .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            )
+            cand = cross.union(within).distinct()
+            all_sigs = prev_s.select("id", "sig").union(sigs.select("id", "sig"))
+            verified = (
+                cand.join(
+                    all_sigs.withColumnRenamed("sig", "sig_a"),
+                    cand.id_a == F.col("id"),
+                )
+                .drop("id")
+                .join(
+                    sigs.select("id", F.col("sig").alias("sig_b")),
+                    cand.id_b == F.col("id"),
+                )
+                .drop("id")
+                .filter(
+                    signature_match_count(F.col("sig_a"), F.col("sig_b"))
+                    >= self.min_match
+                )
+            )
+            verified.select("id_b").distinct().withColumnRenamed(
+                "id_b", "id"
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.rejects_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            sigs.unpersist()
+
+    # -- drains ------------------------------------------------------------
+    def _source(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.input_dir)
+        )
+
+    def run_available(self) -> None:
+        """Drain all currently-available input (Trigger.AvailableNow) then
+        stop; a fresh NearDupStream over the same work_dir later drains
+        only the delta (checkpointed source offsets)."""
+        q = (
+            self._source()
+            .writeStream.foreachBatch(self._sink_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def run_continuous(self, processing_time: str = "5 seconds"):
+        """Forever-running form; caller owns ``query.stop()`` — drains and
+        continuous runs share one checkpoint and interleave freely."""
+        return (
+            self._source()
+            .writeStream.foreachBatch(self._sink_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
+    # -- cumulative reports --------------------------------------------------
+    def verdicts(self) -> DataFrame:
+        """Cumulative per-doc verdicts: ``(id, batch_id, admitted)`` for
+        every document seen so far.  One anti-join-shaped left join of the
+        id index against the append-only reject set."""
+        ids = self._read_index(
+            self.sigs_dir, "id long, sig array<long>, batch_id long"
+        ).select("id", "batch_id")
+        rejects = (
+            self._read_index(self.rejects_dir, "id long, batch_id long")
+            .select("id")
+            .distinct()
+            .withColumn("__rej", F.lit(1))
+        )
+        return ids.join(rejects, "id", "left").select(
+            "id", "batch_id", F.col("__rej").isNull().alias("admitted")
+        )
+
+    def admitted(self) -> DataFrame:
+        """Ids admitted so far (the streaming keep set)."""
+        return self.verdicts().filter("admitted").select("id", "batch_id")

@@ -39,7 +39,7 @@ PARKED_ORACLED = {
     "decontam_report", "gopher_repetition", "pii_redaction",
     "dedup_keep_best", "domain_mixture", "dedup_cluster_sizes",
     "stream_dedup_admitted", "ann_lsh_recall", "doc_chunks", "dup_span_stats",
-    "span_removed_docs", "trigram_quality",
+    "span_removed_docs", "trigram_quality", "stream_neardup_verdicts",
 }
 
 

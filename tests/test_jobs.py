@@ -580,3 +580,50 @@ def test_run_dedup_stream_cli(spark, tmp_path, monkeypatch, capsys):
                       "--continuous", "--stop-file", stop],
                monkeypatch, capsys)
     assert "STREAMING DEDUP" in out
+
+
+def test_run_dedup_stream_neardup_mode(spark, tmp_path, monkeypatch, capsys):
+    """--mode neardup: two drains accumulate minhash/LSH verdicts; knob
+    contract rejects near-dup flags in exact mode and --top-dups in
+    neardup mode."""
+    import os
+
+    import pytest
+
+    from jobs.run_dedup_stream import main
+
+    input_dir = str(tmp_path / "feed")
+    work = str(tmp_path / "ndwork")
+    os.makedirs(input_dir)
+
+    def land(rows, name):
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        stage = str(tmp_path / ("stg_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(stage, f),
+                          os.path.join(input_dir, name + ".parquet"))
+
+    base = "the quick brown fox jumps over the lazy dog in the misty morning"
+    land([(0, base), (1, base), (2, "totally different words here indeed")], "f1")
+    out = _run(main, ["--input", input_dir, "--work-dir", work,
+                      "--mode", "neardup"], monkeypatch, capsys)
+    assert "STREAMING NEAR-DUP" in out and "rejected" in out
+
+    land([(3, base)], "f2")  # cross-drain near-dup (exact clone)
+    out = _run(main, ["--input", input_dir, "--work-dir", work,
+                      "--mode", "neardup"], monkeypatch, capsys)
+    # cumulative: 4 docs seen, 2 admitted (0 and 2), 2 rejected (1 and 3)
+    assert "REJECTS PER BATCH" in out
+
+    with pytest.raises(SystemExit):   # neardup knob without the mode
+        _run(main, ["--input", input_dir, "--work-dir", work,
+                    "--min-match", "10"], monkeypatch, capsys)
+    with pytest.raises(SystemExit):   # exact knob in neardup mode
+        _run(main, ["--input", input_dir, "--work-dir", work,
+                    "--mode", "neardup", "--top-dups", "5"],
+             monkeypatch, capsys)

@@ -182,3 +182,54 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_trigram_scoring_model_join_is_broadcast(spark):
+    """trigram_coverage's scoring join must broadcast the <=top_k-row
+    model — a sort-merge join here would shuffle every exploded trigram
+    row (corpus-sized) against a 500-row table."""
+    plan = plan_of(Q.trigram_quality(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_stats_chunking_is_shuffle_free_until_freq(spark):
+    """duplicated_span_stats: the chunk build must stay narrow (no
+    Exchange between the scan and the first hash aggregate) and the
+    frequency aggregate must be two-phase."""
+    from oplog_analyzer_spark.functions.dedup import duplicated_span_stats
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(duplicated_span_stats(docs, window=16))
+    tree = plan.split("\n\n")[0]
+    # partial+final for the chunk-hash freq agg AND the doc agg
+    assert tree.count("HashAggregate") >= 4
+    # chunk construction is a projection over the scan — the first
+    # operator boundary above the scan must not be an Exchange
+    scan_idx = tree.find("Scan parquet")
+    assert scan_idx != -1
+    above = tree[:scan_idx].splitlines()
+    gen_lines = [l for l in above if "Generate" in l or "Project" in l]
+    assert gen_lines, "chunk explode should sit directly on the scan side"
+
+
+def test_neardup_stream_batch_join_shape(spark, tmp_path):
+    """NearDupStream's per-batch reject join: bucket-keyed candidate join,
+    signature verification by zip_with — no crossJoin anywhere."""
+    import os
+
+    from oplog_analyzer_spark.streaming.dedup_stream import NearDupStream
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    s = NearDupStream(spark, input_dir, str(tmp_path / "work"))
+    batch = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.lit(2).alias("n_chars"),
+    )
+    # drive one batch through the sink, then audit the verdicts plan
+    s._sink_batch(batch, 0)
+    plan = plan_of(s.verdicts())
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -518,3 +518,121 @@ def test_dedup_stream_meta_pinned_and_empty_report(spark, tmp_path):
     assert s.admitted().count() == 0
     with pytest.raises(ValueError, match="different dedup-stream"):
         DedupStream(spark, input_dir, work, text_col="body")
+
+
+def _neardup_batch_expected(spark, df, num_hashes=16, bands=4, min_match=12):
+    """Ground truth for NearDupStream under an id-ordered feed: the same
+    signature-estimate greedy-predecessor semantics computed in ONE batch
+    pass (predecessor = smaller id)."""
+    from pyspark.sql import functions as F
+
+    from oplog_analyzer_spark.functions.dedup import (
+        minhash_banded,
+        minhash_signatures,
+        signature_match_count,
+    )
+
+    sigs = minhash_signatures(df, "doc_id", "text", num_hashes, 3, "md5")
+    banded = minhash_banded(sigs, num_hashes, bands, "md5")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sigs.select(F.col("id"), F.col("sig").alias("sig_a")),
+                  cand.id_a == F.col("id")).drop("id")
+        .join(sigs.select(F.col("id"), F.col("sig").alias("sig_b")),
+              cand.id_b == F.col("id")).drop("id")
+        .filter(signature_match_count(F.col("sig_a"), F.col("sig_b")) >= min_match)
+    )
+    rejects = {r["id_b"] for r in verified.select("id_b").distinct().collect()}
+    all_ids = {r["doc_id"] for r in df.select("doc_id").collect()}
+    return {i: i not in rejects for i in all_ids}
+
+
+def test_neardup_stream_two_drains_equal_batch_semantics(spark, tmp_path):
+    """Streaming minhash/LSH admission over two checkpoint-resumed drains
+    (near-dups within a batch, across drains, and a chain through a
+    REJECTED doc) equals the one-pass batch computation of the same
+    greedy-predecessor estimator semantics."""
+    import os
+
+    from oplog_analyzer_spark.streaming.dedup_stream import NearDupStream
+
+    input_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    os.makedirs(input_dir)
+
+    base = "the quick brown fox jumps over the lazy dog in the misty morning"
+    first = [
+        (0, base),
+        (1, base),                                    # exact clone -> reject
+        (2, "completely different words about spark shuffles and parquet files"),
+        (3, "a third document with its own vocabulary entirely unrelated"),
+    ]
+    second = [
+        (10, base + " tonight"),                      # near-dup of 0 (cross-drain)
+        (11, "fresh text for the second drain nothing like the others here"),
+        (12, first[2][1]),                            # clone of 2 (cross-drain)
+        (13, "fresh text for the second drain nothing like the others here"),
+        # ^ clone of 11, within-batch
+        (20, base + " tonight"),                      # clone of 10 — rejected
+        # even though 10 itself is (likely) rejected: predecessor semantics
+    ]
+
+    def land(rows, name):
+        stage = str(tmp_path / ("s_" + name))
+        _docs_frame(spark, rows).coalesce(1).write.mode("overwrite").parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(stage, f),
+                          os.path.join(input_dir, f"{name}.parquet"))
+
+    land(first, "a")
+    NearDupStream(spark, input_dir, work, max_files_per_trigger=64).run_available()
+    land(second, "b")
+    NearDupStream(spark, input_dir, work, max_files_per_trigger=64).run_available()
+
+    s = NearDupStream(spark, input_dir, work, max_files_per_trigger=64)
+    got = {r["id"]: r["admitted"] for r in s.verdicts().collect()}
+    want = _neardup_batch_expected(spark, spark.read.parquet(input_dir))
+    assert got == want
+    # the planted structure actually fired
+    assert got[0] and not got[1] and not got[12] and not got[13] and not got[20]
+    # batch attribution: drain 1 docs are batch 0, drain 2 docs batch 1
+    batches = {r["id"]: r["batch_id"] for r in s.verdicts().collect()}
+    assert batches[0] == 0 and batches[10] == 1
+
+    # replay idempotency: a third drain with no new files changes nothing
+    NearDupStream(spark, input_dir, work, max_files_per_trigger=64).run_available()
+    again = {r["id"]: r["admitted"] for r in s.verdicts().collect()}
+    assert again == got
+
+
+def test_neardup_stream_meta_and_validation(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from oplog_analyzer_spark.streaming.dedup_stream import NearDupStream
+
+    input_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    os.makedirs(input_dir)
+    s = NearDupStream(spark, input_dir, work)
+    assert s.verdicts().count() == 0          # no batch ever ran -> empty
+    with pytest.raises(ValueError, match="different near-dup-stream"):
+        NearDupStream(spark, input_dir, work, min_match=9)
+    with pytest.raises(ValueError, match="min_match"):
+        NearDupStream(spark, input_dir, str(tmp_path / "w2"),
+                      num_hashes=16, min_match=17)
+    with pytest.raises(ValueError, match="bands"):
+        NearDupStream(spark, input_dir, str(tmp_path / "w3"),
+                      num_hashes=16, bands=5)
