@@ -48,8 +48,14 @@ QUERY_REV = {
     # r6 additions: transitive CC dedup clusters (the iterative
     # large-star/small-star loop over the capped ngram pair graph) and
     # benchmark decontamination (broadcast gram semi-join)
-    "dedup_cc_clusters": 1,
+    "dedup_cc_clusters": 2,  # r6: star-forest fixpoint test replaces the
+    # fingerprint round — one fewer star round per run
     "decontam_report": 1,
+    # r6 additions: corpus-trigram quality scoring (model + broadcast-join
+    # scoring, two corpus scans) and duplicated-span coverage (chunk-hash
+    # doc-frequency)
+    "trigram_quality": 1,
+    "dup_span_stats": 1,
 }
 
 HEADLINE_QUERIES = [
@@ -74,6 +80,8 @@ HEADLINE_QUERIES = [
     "sequence_packing",
     "dedup_cc_clusters",
     "decontam_report",
+    "trigram_quality",
+    "dup_span_stats",
 ]
 
 
