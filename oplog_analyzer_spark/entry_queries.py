@@ -2815,6 +2815,34 @@ def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "corpus_profile",
+    r"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_ids,
+       CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+            AS BIGINT) AS distinct_texts,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(min(n_tok) AS BIGINT) AS min_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_tokens
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+)
+""",
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan corpus profile (§2.11): doc/distinct-id/distinct-text
+    cardinalities + token totals and extremes.  Exact form certified here;
+    the HLL sketch form (approx=True, the 100 TB path) is pytest-bounded
+    against this row's values."""
+    from .functions.textstats import corpus_profile as profile
+
+    return profile(load_table(spark, sf_dir, "documents"))
+
+
 def _neardup_stream_published(spark: SparkSession, sf_dir: str) -> str:
     """Two-drain streaming NEAR-dup (minhash/LSH admission) over the same
     deterministic id-ordered feed pattern as :func:`_dedup_stream_published`,

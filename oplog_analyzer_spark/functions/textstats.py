@@ -264,6 +264,49 @@ def bpe_token_count(
     )
 
 
+def corpus_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    approx: bool = False,
+) -> DataFrame:
+    """One-row corpus profile — the numbers a 100 TB ingest job prints
+    before anything else: document count, total/min/max whitespace tokens,
+    distinct normalized texts (the exact-dedup cardinality) and distinct
+    documents per the md5 fingerprint.
+
+    ``approx=True`` swaps the two distinct counts for
+    ``approx_count_distinct`` (HyperLogLog++, rsd 0.01) — at corpus scale
+    an exact distinct is a full shuffle of every normalized text, while
+    the sketch rides the same single scan as the other aggregates,
+    mergeable and constant-size per partition.  The exact form is the
+    SQL-certified one (`corpus_profile` driver row); the sketch form is
+    pytest-bounded against it (±5%).
+
+    Plan: ONE scan, one global aggregate (map-side partials), no joins.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n_tokens = F.size(tokens(text_col))
+    distinct_texts = (
+        F.approx_count_distinct(normalized, rsd=0.01)
+        if approx
+        else F.count_distinct(normalized)
+    )
+    distinct_ids = (
+        F.approx_count_distinct(F.col(id_col), rsd=0.01)
+        if approx
+        else F.count_distinct(F.col(id_col))
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        distinct_ids.cast("long").alias("distinct_ids"),
+        distinct_texts.cast("long").alias("distinct_texts"),
+        F.sum(n_tokens).cast("long").alias("total_tokens"),
+        F.min(n_tokens).cast("long").alias("min_tokens"),
+        F.max(n_tokens).cast("long").alias("max_tokens"),
+    )
+
+
 # --- corpus-model quality scoring (CCNet-style, Wenzek et al. 2020) ----------
 
 def _char_trigrams(text_col: str) -> F.Column:

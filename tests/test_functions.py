@@ -1729,6 +1729,57 @@ def test_trigram_model_and_coverage(spark):
         trigram_model(df, top_k=0)
 
 
+def test_bpe_encode_word_roundtrip_property():
+    """Hypothesis property (pure local, no Spark): for ANY word and ANY
+    merge table, the encoded subwords concatenate back to exactly
+    word + END_OF_WORD — encoding can never lose or invent bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oplog_analyzer_spark.functions.bpe import END_OF_WORD, _encode_word
+
+    words = st.text(
+        alphabet=st.characters(blacklist_categories=("Zs", "Cc")),
+        min_size=1, max_size=12,
+    )
+    merge_tables = st.lists(
+        st.tuples(st.text(min_size=1, max_size=3), st.text(min_size=1, max_size=3)),
+        max_size=20,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(word=words, merges=merge_tables)
+    def check(word, merges):
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        out = _encode_word(word, ranks)
+        assert "".join(out) == word + END_OF_WORD
+
+    check()
+
+
+def test_corpus_profile_exact_and_sketch(spark):
+    """Exact profile over a known corpus; the HLL sketch form (the 100 TB
+    path — one scan, mergeable state) lands within its rsd bound."""
+    from oplog_analyzer_spark.functions.textstats import corpus_profile
+
+    rows = [(i, f"doc number {i} with tokens") for i in range(200)]
+    rows += [(1000 + i, rows[i][1]) for i in range(50)]     # 50 exact clones
+    rows += [(2000, ""), (2001, None)]                      # degenerate texts
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = corpus_profile(df).collect()[0].asDict()
+    assert exact == {
+        "n_docs": 252, "distinct_ids": 252, "distinct_texts": 201,
+        # 250 real docs x 5 tokens; empty string counts 0, NULL is skipped
+        "total_tokens": 1250, "min_tokens": 0, "max_tokens": 5,
+    }
+
+    approx = corpus_profile(df, approx=True).collect()[0].asDict()
+    assert approx["n_docs"] == 252 and approx["total_tokens"] == 1250
+    for k in ("distinct_ids", "distinct_texts"):
+        assert abs(approx[k] - exact[k]) <= max(3, 0.05 * exact[k]), k
+
+
 def test_bpe_learn_classic_corpus(spark):
     """The Sennrich et al. 2016 worked example: low×5 lower×2 newest×6
     widest×3 — the first five merges are hand-computable."""
