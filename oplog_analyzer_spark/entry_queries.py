@@ -2996,6 +2996,152 @@ def stream_neardup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embdedup_stream_published(spark: SparkSession, sf_dir: str) -> str:
+    """Two-drain streaming EMBEDDING near-dup over an id-ordered feed:
+    drain 1 = the lower-id half of the embeddings table, drain 2 = the
+    upper half plus planted exact-direction clones (every ``vec_id % 7 ==
+    0`` vector reappears under ``id + 1_000_000`` scaled by 1.25 — cosine
+    exactly 1 with its source, so cross-drain rejection is non-vacuous)."""
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.dedup_stream import EmbNearDupStream
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_DEDUP_STREAM_ROOT, "embdedup-" + _DEDUP_STREAM_VERSION, tag)
+    if os.path.exists(os.path.join(out, "_PUBLISHED")):
+        return out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mid = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    work = os.path.join(
+        _DEDUP_STREAM_ROOT, f".tmp-emb-{os.getpid()}-{uuid.uuid4().hex}"
+    )
+    input_dir = os.path.join(work, "input")
+    stream_dir = os.path.join(work, "stream")
+    os.makedirs(input_dir, exist_ok=True)
+
+    def _land(frame, stage_name: str, prefix: str) -> None:
+        stage = os.path.join(work, stage_name)
+        frame.write.mode("overwrite").parquet(stage)
+        k = 0
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(stage, f),
+                    os.path.join(input_dir, f"{prefix}-{k}.parquet"),
+                )
+                k += 1
+
+    def _stream() -> EmbNearDupStream:
+        return EmbNearDupStream(
+            spark, input_dir, stream_dir,
+            threshold=0.9, n_planes=12, n_tables=2, multiprobe=True,
+            dim=64, seed=42, max_files_per_trigger=64,
+        )
+
+    _land(emb.filter(F.col("vec_id") <= mid), "stage1", "half1")
+    _stream().run_available()
+
+    upper = emb.filter(F.col("vec_id") > mid)
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.25)).cast("float"))
+        .alias("embedding"),
+        "label",
+    )
+    _land(upper.unionByName(planted), "stage2", "half2")
+    _stream().run_available()
+
+    report_dir = os.path.join(work, "out")
+    _stream().verdicts().write.mode("overwrite").parquet(
+        os.path.join(report_dir, "verdicts")
+    )
+    open(os.path.join(report_dir, "_PUBLISHED"), "w").close()
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(report_dir, out)  # atomic publish
+    except OSError:
+        pass
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@_q(
+    "stream_embdedup_audit",
+    f"""
+WITH feed AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.25)
+  FROM embeddings WHERE vec_id % 7 = 0
+), rej AS (
+  SELECT DISTINCT b.id FROM feed a JOIN feed b ON a.id < b.id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+), sv AS (
+  SELECT id, admitted FROM read_parquet(
+    '{_DEDUP_STREAM_ROOT}/embdedup-{_DEDUP_STREAM_VERSION}/sf0.01/verdicts/*.parquet')
+)
+SELECT f.id AS vec_id, sv.admitted,
+       (r.id IS NOT NULL) AS brute_reject,
+       (sv.admitted OR r.id IS NOT NULL) AS sound
+FROM feed f
+JOIN sv ON sv.id = f.id
+LEFT JOIN rej r ON r.id = f.id
+""",
+)
+def stream_embdedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EMBEDDING near-dup certification (the ann_lsh_recall
+    materialize-then-oracle pattern): both engines score the SAME
+    published two-drain verdicts against a brute-force all-pairs cosine
+    oracle.  ``sound`` certifies every stream reject is brute-justified
+    (exact verification ⇒ zero false positives — must be all true);
+    ``admitted AND brute_reject`` rows are LSH misses, visible and
+    counted, the documented recall trade."""
+    import os
+
+    out = _embdedup_stream_published(spark, sf_dir)
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts")).select(
+        "id", "admitted"
+    )
+
+    from .functions.similarity import _dot, normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.25)).cast("float"))
+        .alias("embedding"),
+        "label",
+    )
+    feed = emb.unionByName(planted)
+    norm = normalize(feed, "embedding").select(
+        F.col("vec_id").alias("id"), "v"
+    )
+    brute = (
+        norm.alias("a")
+        .join(norm.alias("b"), F.col("a.id") < F.col("b.id"))
+        .filter(_dot(F.col("a.v"), F.col("b.v")) >= 0.9)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("__br", F.lit(1))
+    )
+    return (
+        feed.select(F.col("vec_id").alias("id"))
+        .join(verdicts, "id")
+        .join(brute, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "admitted",
+            F.col("__br").isNotNull().alias("brute_reject"),
+            (F.col("admitted") | F.col("__br").isNotNull()).alias("sound"),
+        )
+    )
+
+
 @_q(
     "dedup_cluster_sizes",
     r"""

@@ -57,6 +57,37 @@ from pyspark.sql import functions as F
 #: default feed schema — the documents table shape
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
+#: default feed schema for the embedding stream — the embeddings table shape
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def _pin_meta(work_dir: str, filename: str, fields, obj, kind: str) -> None:
+    """Pin the meaning-defining options in ``work_dir/filename`` at
+    creation; a resume with different options raises — merging partials
+    computed under different semantics would silently change what
+    'duplicate' means (the tail_meta contract, shared by all streams)."""
+    path = os.path.join(work_dir, filename)
+    mine = {k: getattr(obj, k) for k in fields}
+    if os.path.exists(path):
+        with open(path) as f:
+            pinned = json.load(f)
+        diffs = {
+            k: (pinned.get(k), mine[k])
+            for k in fields
+            if pinned.get(k) != mine[k]
+        }
+        if diffs:
+            raise ValueError(
+                f"work_dir {work_dir} was created with a different "
+                f"{kind} configuration (use a fresh work_dir): {diffs}"
+            )
+        return
+    os.makedirs(work_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(mine, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
 
 class DedupStream:
     """Resumable streaming exact-dedup over a growing parquet directory.
@@ -91,31 +122,9 @@ class DedupStream:
         self.partials_dir = os.path.join(work_dir, "partials")
         self._enforce_meta()
 
-    def _meta(self) -> dict:
-        return {k: getattr(self, k) for k in self._META_FIELDS}
-
     def _enforce_meta(self) -> None:
-        path = os.path.join(self.work_dir, "dedup_meta.json")
-        mine = self._meta()
-        if os.path.exists(path):
-            with open(path) as f:
-                pinned = json.load(f)
-            diffs = {
-                k: (pinned.get(k), mine[k])
-                for k in self._META_FIELDS
-                if pinned.get(k) != mine[k]
-            }
-            if diffs:
-                raise ValueError(
-                    f"work_dir {self.work_dir} was created with a different "
-                    f"dedup-stream configuration (use a fresh work_dir): {diffs}"
-                )
-            return
-        os.makedirs(self.work_dir, exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(mine, f, indent=1, sort_keys=True)
-        os.replace(tmp, path)
+        _pin_meta(self.work_dir, "dedup_meta.json", self._META_FIELDS,
+                  self, "dedup-stream")
 
     # -- per-batch transform ---------------------------------------------
     def _hash_col(self) -> F.Column:
@@ -300,33 +309,9 @@ class NearDupStream:
         self.rejects_dir = os.path.join(work_dir, "rejects")
         self._enforce_meta()
 
-    # meta pinning — same contract (and code shape) as DedupStream
-    def _meta(self) -> dict:
-        return {k: getattr(self, k) for k in self._META_FIELDS}
-
     def _enforce_meta(self) -> None:
-        path = os.path.join(self.work_dir, "neardup_meta.json")
-        mine = self._meta()
-        if os.path.exists(path):
-            with open(path) as f:
-                pinned = json.load(f)
-            diffs = {
-                k: (pinned.get(k), mine[k])
-                for k in self._META_FIELDS
-                if pinned.get(k) != mine[k]
-            }
-            if diffs:
-                raise ValueError(
-                    f"work_dir {self.work_dir} was created with a different "
-                    f"near-dup-stream configuration (use a fresh work_dir): "
-                    f"{diffs}"
-                )
-            return
-        os.makedirs(self.work_dir, exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(mine, f, indent=1, sort_keys=True)
-        os.replace(tmp, path)
+        _pin_meta(self.work_dir, "neardup_meta.json", self._META_FIELDS,
+                  self, "near-dup-stream")
 
     # -- per-batch transform ---------------------------------------------
     def _read_index(self, base_dir: str, empty_schema: str) -> DataFrame:
@@ -465,4 +450,206 @@ class NearDupStream:
 
     def admitted(self) -> DataFrame:
         """Ids admitted so far (the streaming keep set)."""
+        return self.verdicts().filter("admitted").select("id", "batch_id")
+
+
+class EmbNearDupStream:
+    """Resumable streaming near-dup dedup over an EMBEDDING feed — the
+    third cell of the streaming × dedup matrix (exact text, minhash text,
+    embedding cosine): reject a vector iff a PREDECESSOR (earlier batch,
+    or smaller id within the batch) lands in a shared hyperplane-LSH
+    bucket (any table; multiprobe also reaches every hamming-1 bucket)
+    AND exact cosine ≥ ``threshold``.
+
+    Same greedy-predecessor design as :class:`NearDupStream` — the reject
+    set is append-only, each batch joins batch × cumulative index — but
+    the verification is EXACT (the normalized vectors are fixed-size, so
+    the index can afford to store them; the text stream can't store
+    shingle sets and settles for the signature estimate).  ZERO false
+    positives by construction; recall follows the embedding_neardup_lsh
+    levers (n_planes / n_tables / multiprobe), and the driver row
+    ``stream_embdedup_audit`` certifies reject soundness row-by-row
+    against a brute-force SQL oracle while exposing the misses.
+
+    Reference anchor: beyond-reference by design (SURVEY §2.11), like the
+    other streams.
+    """
+
+    _META_FIELDS = (
+        "id_col", "vec_col", "schema", "threshold", "n_planes",
+        "n_tables", "multiprobe", "dim", "seed",
+    )
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        work_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        schema: str = EMB_SCHEMA,
+        threshold: float = 0.9,
+        n_planes: int = 12,
+        n_tables: int = 2,
+        multiprobe: bool = True,
+        dim: int = 64,
+        seed: int = 42,
+        max_files_per_trigger: int = 8,
+    ) -> None:
+        if not (0.0 < threshold <= 1.0):
+            raise ValueError("threshold must be in (0, 1]")
+        self.spark = spark
+        self.input_dir = input_dir
+        self.work_dir = work_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.schema = schema
+        self.threshold = float(threshold)
+        self.n_planes = int(n_planes)
+        self.n_tables = int(n_tables)
+        self.multiprobe = bool(multiprobe)
+        self.dim = int(dim)
+        self.seed = int(seed)
+        self.max_files_per_trigger = int(max_files_per_trigger)
+        self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
+        self.vecs_dir = os.path.join(work_dir, "vecs")
+        self.buckets_dir = os.path.join(work_dir, "buckets")
+        self.rejects_dir = os.path.join(work_dir, "rejects")
+        self._enforce_meta()
+
+    def _enforce_meta(self) -> None:
+        _pin_meta(self.work_dir, "embdedup_meta.json", self._META_FIELDS,
+                  self, "embedding-near-dup-stream")
+
+    def _read_index(self, base_dir: str, empty_schema: str) -> DataFrame:
+        if not os.path.isdir(base_dir):
+            return self.spark.createDataFrame([], empty_schema)
+        return self.spark.read.option("basePath", base_dir).parquet(
+            os.path.join(base_dir, "batch_id=*")
+        )
+
+    def _sink_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..functions.similarity import (
+            _dot,
+            lsh_signatures,
+            make_planes,
+            normalize,
+        )
+
+        planes = make_planes(self.dim, self.n_tables * self.n_planes, self.seed)
+        norm = normalize(batch, self.vec_col).select(
+            F.col(self.id_col).alias("id"), "v"
+        ).persist()
+        try:
+            norm.write.mode("overwrite").parquet(
+                os.path.join(self.vecs_dir, f"batch_id={batch_id}")
+            )
+            buckets = lsh_signatures(
+                norm, planes, "id", "v", self.n_tables
+            ).select("id", F.posexplode("sigs").alias("table", "bucket"))
+            buckets = buckets.persist()
+            buckets.write.mode("overwrite").parquet(
+                os.path.join(self.buckets_dir, f"batch_id={batch_id}")
+            )
+
+            prev_b = self._read_index(
+                self.buckets_dir, "id long, table int, bucket int, batch_id long"
+            ).filter(F.col("batch_id") < batch_id)
+            prev_v = self._read_index(
+                self.vecs_dir, "id long, v array<double>, batch_id long"
+            ).filter(F.col("batch_id") < batch_id)
+
+            probes = buckets
+            if self.multiprobe:
+                probes = buckets.withColumn(
+                    "bucket",
+                    F.explode(
+                        F.array(
+                            F.col("bucket"),
+                            *[
+                                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                                for i in range(self.n_planes)
+                            ],
+                        )
+                    ),
+                )
+            cross = (
+                probes.alias("b")
+                .join(
+                    prev_b.alias("a"),
+                    (F.col("a.table") == F.col("b.table"))
+                    & (F.col("a.bucket") == F.col("b.bucket")),
+                )
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            )
+            within = (
+                probes.alias("x")
+                .join(
+                    buckets.alias("y"),
+                    (F.col("x.table") == F.col("y.table"))
+                    & (F.col("x.bucket") == F.col("y.bucket"))
+                    & (F.col("x.id") < F.col("y.id")),
+                )
+                .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            )
+            cand = cross.union(within).distinct()
+            all_v = prev_v.select("id", "v").union(norm.select("id", "v"))
+            verified = (
+                cand.join(all_v.withColumnRenamed("v", "va"),
+                          cand.id_a == F.col("id")).drop("id")
+                .join(norm.select("id", F.col("v").alias("vb")),
+                      cand.id_b == F.col("id")).drop("id")
+                .filter(_dot(F.col("va"), F.col("vb")) >= self.threshold)
+            )
+            verified.select("id_b").distinct().withColumnRenamed(
+                "id_b", "id"
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.rejects_dir, f"batch_id={batch_id}")
+            )
+            buckets.unpersist()
+        finally:
+            norm.unpersist()
+
+    def _source(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.input_dir)
+        )
+
+    def run_available(self) -> None:
+        q = (
+            self._source()
+            .writeStream.foreachBatch(self._sink_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def run_continuous(self, processing_time: str = "5 seconds"):
+        return (
+            self._source()
+            .writeStream.foreachBatch(self._sink_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
+    def verdicts(self) -> DataFrame:
+        """Cumulative per-vector verdicts: ``(id, batch_id, admitted)``."""
+        ids = self._read_index(
+            self.vecs_dir, "id long, v array<double>, batch_id long"
+        ).select("id", "batch_id")
+        rejects = (
+            self._read_index(self.rejects_dir, "id long, batch_id long")
+            .select("id")
+            .distinct()
+            .withColumn("__rej", F.lit(1))
+        )
+        return ids.join(rejects, "id", "left").select(
+            "id", "batch_id", F.col("__rej").isNull().alias("admitted")
+        )
+
+    def admitted(self) -> DataFrame:
         return self.verdicts().filter("admitted").select("id", "batch_id")

@@ -636,3 +636,131 @@ def test_neardup_stream_meta_and_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="bands"):
         NearDupStream(spark, input_dir, str(tmp_path / "w3"),
                       num_hashes=16, bands=5)
+
+
+def _emb_frame(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def _embdedup_batch_expected(spark, df, threshold=0.9, n_planes=6,
+                             n_tables=2, dim=8, seed=42):
+    """Ground truth for EmbNearDupStream under an id-ordered feed: the same
+    bucket-candidate + exact-cosine greedy-predecessor semantics in ONE
+    pass (predecessor = smaller id)."""
+    from pyspark.sql import functions as F
+
+    from oplog_analyzer_spark.functions.similarity import (
+        _dot,
+        lsh_signatures,
+        make_planes,
+        normalize,
+    )
+
+    planes = make_planes(dim, n_tables * n_planes, seed)
+    norm = normalize(df, "embedding").select(F.col("vec_id").alias("id"), "v")
+    buckets = lsh_signatures(norm, planes, "id", "v", n_tables).select(
+        "id", F.posexplode("sigs").alias("table", "bucket")
+    )
+    probes = buckets.withColumn(
+        "bucket",
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )),
+    )
+    cand = (
+        probes.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(norm.select(F.col("id"), F.col("v").alias("va")),
+                  cand.id_a == F.col("id")).drop("id")
+        .join(norm.select(F.col("id"), F.col("v").alias("vb")),
+              cand.id_b == F.col("id")).drop("id")
+        .filter(_dot(F.col("va"), F.col("vb")) >= threshold)
+    )
+    rejects = {r["id_b"] for r in verified.select("id_b").distinct().collect()}
+    return {r["vec_id"]: r["vec_id"] not in rejects
+            for r in df.select("vec_id").collect()}
+
+
+def test_emb_neardup_stream_two_drains_equal_batch_semantics(spark, tmp_path):
+    """Streaming embedding near-dup (hyperplane LSH + exact cosine) over
+    two checkpoint-resumed drains equals the one-pass batch computation of
+    the same greedy-predecessor semantics."""
+    import os
+
+    from oplog_analyzer_spark.streaming.dedup_stream import EmbNearDupStream
+
+    input_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    os.makedirs(input_dir)
+
+    e = [0.0] * 8
+    def vec(*pairs):
+        v = list(e)
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    first = [
+        (0, vec((0, 1.0))),
+        (1, vec((0, 2.0))),                    # same direction -> cos 1.0, reject
+        (2, vec((1, 1.0))),                    # orthogonal, admitted
+        (3, vec((2, 1.0), (3, 0.2))),          # own direction, admitted
+    ]
+    second = [
+        (10, vec((0, 1.0), (1, 0.05))),        # near-dup of 0 (cross-drain)
+        (11, vec((4, 1.0))),                   # fresh, admitted
+        (12, vec((4, 3.0))),                   # clone of 11 (within-batch)
+        (20, vec((0, 1.0), (1, 0.049))),       # near 10 AND 0 — rejected
+    ]
+
+    def land(rows, name):
+        stage = str(tmp_path / ("s_" + name))
+        _emb_frame(spark, rows).coalesce(1).write.mode("overwrite").parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(stage, f),
+                          os.path.join(input_dir, f"{name}.parquet"))
+
+    def stream():
+        return EmbNearDupStream(
+            spark, input_dir, work, threshold=0.9, n_planes=6,
+            n_tables=2, dim=8, max_files_per_trigger=64,
+        )
+
+    land(first, "a")
+    stream().run_available()
+    land(second, "b")
+    stream().run_available()
+
+    got = {r["id"]: r["admitted"] for r in stream().verdicts().collect()}
+    want = _embdedup_batch_expected(spark, spark.read.parquet(input_dir))
+    assert got == want
+    # the planted structure fired: clones rejected, originals admitted
+    assert got[0] and got[2] and got[11]
+    assert not got[1] and not got[12]
+
+    # replay idempotency
+    stream().run_available()
+    assert {r["id"]: r["admitted"] for r in stream().verdicts().collect()} == got
+
+    # meta pin: different threshold on the same work_dir raises
+    import pytest
+
+    with pytest.raises(ValueError, match="embedding-near-dup-stream"):
+        EmbNearDupStream(spark, input_dir, work, threshold=0.8, n_planes=6,
+                         n_tables=2, dim=8)
+    with pytest.raises(ValueError, match="threshold"):
+        EmbNearDupStream(spark, input_dir, str(tmp_path / "w2"), threshold=1.5)
