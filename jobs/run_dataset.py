@@ -14,6 +14,7 @@ run_scan/run_tail expose the reference's surface).
     [--simhash-hamming 3] [--simhash-blocks 4] [--match-blocks 1] \
     [--span-dedup 64] [--span-policy keep_first|drop_all] \
     [--quality-gate] [--repetition-gate] [--redact-pii] \
+    [--gopher-gate] [--gopher-min-words 50] [--gopher-min-stopwords 2] \
     [--trigram-gate 5000] [--trigram-top-k 1000] \
     [--bpe-merges 1000] [--bpe-vocab-words 1000000] \
     [--split train=0.98,val=0.01,test=0.01] \
@@ -129,6 +130,19 @@ def main() -> None:
                     help="drop docs failing the quality_score gate "
                     "(quality_ok: >=5 tokens, punctuation < 1/4 of bytes, "
                     ">=1 stopword type)")
+    ap.add_argument("--gopher-gate", action="store_true",
+                    help="drop docs failing the FULL Gopher rule set "
+                    "(word-count window, mean word length, symbol ratio, "
+                    "bullet/ellipsis lines, alpha-word fraction, stop-words "
+                    "— functions/textstats.py::gopher_rules); the "
+                    "repetition subset is --repetition-gate")
+    ap.add_argument("--gopher-min-words", type=int,
+                    help="word-count floor for --gopher-gate (default 50, "
+                    "the paper's constant)")
+    ap.add_argument("--gopher-min-stopwords", type=int,
+                    help="distinct GOPHER_STOPWORDS required for "
+                    "--gopher-gate (default 2; tune down for corpora whose "
+                    "vocabulary misses the English stop-word set)")
     ap.add_argument("--bpe-merges", type=int,
                     help="learn a BPE merge table of this size on the "
                     "post-gate corpus (one word-count scan + bounded "
@@ -204,6 +218,8 @@ def main() -> None:
     _require("--pack-buckets", args.pack is not None, "with --pack")
     _require("--chunk-stride", args.chunk is not None, "with --chunk")
     _require("--min-chunk-tokens", args.chunk is not None, "with --chunk")
+    _require("--gopher-min-words", args.gopher_gate, "with --gopher-gate")
+    _require("--gopher-min-stopwords", args.gopher_gate, "with --gopher-gate")
     _require("--decontam-ngram", args.decontam is not None, "with --decontam")
     _require("--decontam-min-hits", args.decontam is not None, "with --decontam")
     _require("--mix-domain", args.mix_weights is not None, "with --mix-weights")
@@ -316,6 +332,21 @@ def main() -> None:
         base_cols = df.columns
         df = TS.quality_score(df, args.text_col).filter("quality_ok").select(base_cols)
         df = observe("rows_after_quality", df)
+
+    if args.gopher_gate:
+        # inline filter, NOT a semi-join against gopher_rules: the rules
+        # are per-row codegen expressions, so the gate rides the existing
+        # scan with zero shuffle (and an emptied corpus cannot trigger
+        # AQE empty-relation collapse of upstream metrics nodes)
+        df = df.filter(TS.gopher_ok_expr(
+            args.text_col,
+            min_words=args.gopher_min_words or 50,
+            min_stopword_types=(
+                2 if args.gopher_min_stopwords is None
+                else args.gopher_min_stopwords
+            ),
+        ))
+        df = observe("rows_after_gopher", df)
 
     trigram_persisted = None
     if args.trigram_gate is not None:
@@ -447,7 +478,18 @@ def main() -> None:
     if bpe_persisted is not None:
         bpe_persisted.unpersist()
 
-    summary = {stage: obs.get["rows"] for stage, obs in observations.items()}
+    def _obs_rows(obs) -> int:
+        # When an upstream gate empties the frame, AQE's empty-relation
+        # propagation can collapse the subtree UNDER a CollectMetrics node
+        # to an empty LocalRelation and drop the metrics node with it; the
+        # Observation then resolves to a schemaless empty Row that
+        # PythonSQLUtils.toPyRow rejects (Py4J AssertionError).  An
+        # eliminated metrics node means zero rows flowed through the stage.
+        if obs._jo is not None and obs._jo.getRow().length() == 0:
+            return 0
+        return obs.get["rows"]
+
+    summary = {stage: _obs_rows(obs) for stage, obs in observations.items()}
     summary["output"] = args.output
     print(json.dumps(summary))
 

@@ -2843,6 +2843,137 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(load_table(spark, sf_dir, "documents"))
 
 
+@_q(
+    "gopher_quality",
+    r"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(floor(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+              * 100.0 / greatest(len(words), 1)) AS BIGINT) AS mean_word_len_x100,
+         CAST(floor(((length(text) - length(regexp_replace(text, '#', '', 'g')))
+               + (len(string_split(text, '...')) - 1)
+               + (len(string_split(text, '…')) - 1)) * 10000.0
+              / greatest(len(words), 1)) AS BIGINT) AS symbol_word_ratio_x10000,
+         CAST(floor(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]\s')))
+              * 10000.0 / greatest(len(lines), 1)) AS BIGINT)
+           AS bullet_line_frac_x10000,
+         CAST(floor(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+              * 10000.0 / greatest(len(lines), 1)) AS BIGINT)
+           AS ellipsis_line_frac_x10000,
+         CAST(floor(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+              * 10000.0 / greatest(len(words), 1)) AS BIGINT)
+           AS alpha_word_frac_x10000,
+         CAST(len(list_intersect(words,
+              ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+           AS stopword_types
+  FROM base
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+       (mean_word_len_x100 BETWEEN 300 AND 1000) AS rule_mean_word_len,
+       (symbol_word_ratio_x10000 <= 1000) AS rule_symbol_ratio,
+       (bullet_line_frac_x10000 <= 9000) AS rule_bullet_lines,
+       (ellipsis_line_frac_x10000 <= 3000) AS rule_ellipsis_lines,
+       (alpha_word_frac_x10000 >= 8000) AS rule_alpha_words,
+       (stopword_types >= 1) AS rule_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len_x100 BETWEEN 300 AND 1000
+        AND symbol_word_ratio_x10000 <= 1000
+        AND bullet_line_frac_x10000 <= 9000
+        AND ellipsis_line_frac_x10000 <= 3000
+        AND alpha_word_frac_x10000 >= 8000
+        AND stopword_types >= 1) AS gopher_ok
+FROM feat
+""",
+)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher document-level quality rule set (Rae et al. 2021
+    §A1.1) — word-count window, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, stop-word
+    presence — every feature AND every rule verdict re-derived by the
+    oracle from first principles.  ``min_stopword_types=1`` here (the
+    paper's 2 is vacuous on this corpus, whose only GOPHER_STOPWORDS
+    member is 'the' — the conjunction would be constant-false; the
+    ``stopword_types`` column still certifies the counting either way).
+    Complements `trigram_quality` (corpus-model scoring) and
+    `gopher_repetition` (the repetition subset of the same paper)."""
+    from .functions.textstats import gopher_rules
+
+    return gopher_rules(
+        load_table(spark, sf_dir, "documents"), min_stopword_types=1
+    )
+
+
+@_q(
+    "semdedup",
+    """
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding FROM embeddings
+  ORDER BY CAST(('0x' || substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                AS BIGINT), vec_id
+  LIMIT 8
+), assign AS (
+  SELECT id, cluster, cent_sim FROM (
+    SELECT e.vec_id AS id, c.cent_id AS cluster,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS cent_sim,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), ranked AS (
+  SELECT a.id, a.cluster, a.cent_sim, e.embedding,
+         CAST(row_number() OVER (
+           PARTITION BY a.cluster ORDER BY a.cent_sim ASC, a.id ASC)
+           AS INT) AS rnk
+  FROM assign a JOIN embeddings e ON e.vec_id = a.id
+), pred AS (
+  SELECT x.id,
+         max(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[]))) AS mps,
+         min(CASE WHEN list_cosine_similarity(
+                         CAST(x.embedding AS DOUBLE[]),
+                         CAST(y.embedding AS DOUBLE[])) >= 0.4
+                  THEN y.id END) AS dup_of
+  FROM ranked x JOIN ranked y ON y.cluster = x.cluster AND y.rnk < x.rnk
+  GROUP BY x.id
+)
+SELECT r.id, r.cluster, round(r.cent_sim, 4) AS cent_sim, r.rnk,
+       round(coalesce(p.mps, -2.0), 4) AS max_prior_sim,
+       coalesce(p.dup_of, -1) AS dup_of,
+       coalesce(p.mps >= 0.4, FALSE) AS is_dup
+FROM ranked r LEFT JOIN pred p ON p.id = r.id
+""",
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): the full verdict frame — md5-mode
+    centroid pick, max-cosine cluster assignment (ties to the smaller
+    centroid id), within-cluster rank by (cent_sim ASC, id ASC), and the
+    paper's predecessor-max-similarity drop rule — all re-derived by the
+    oracle from first principles (cross-join argmax + one inequality
+    self-join; no recursion, the rule is a pure predecessor test).
+    Threshold 0.4 (production 0.9 is vacuous on this corpus, max pairwise
+    cosine ~0.51): 18 of 500 docs get is_dup=true at sf0.01, so the drop
+    verdict, dup_of attribution, and both sentinels are all exercised."""
+    from .functions.semdedup import semdedup_verdicts
+
+    return semdedup_verdicts(
+        load_table(spark, sf_dir, "embeddings"),
+        n_clusters=8,
+        threshold=0.4,
+        hash_fn="md5",
+    )
+
+
 def _neardup_stream_published(spark: SparkSession, sf_dir: str) -> str:
     """Two-drain streaming NEAR-dup (minhash/LSH admission) over the same
     deterministic id-ordered feed pattern as :func:`_dedup_stream_published`,

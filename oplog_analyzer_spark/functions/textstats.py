@@ -208,6 +208,166 @@ def repetition_ok(
     )
 
 
+#: the stop-word set of Gopher rule 7 (Rae et al. 2021, §A1.1): a document
+#: must contain at least ``min_stopword_types`` DISTINCT members.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: feature column order shared by gopher_rules and its oracle twin
+_GOPHER_FEATURES = (
+    "n_words", "mean_word_len_x100", "symbol_word_ratio_x10000",
+    "bullet_line_frac_x10000", "ellipsis_line_frac_x10000",
+    "alpha_word_frac_x10000", "stopword_types",
+)
+
+
+def _gopher_feature_exprs(text_col: str) -> dict[str, F.Column]:
+    """The seven Gopher feature expressions as named Columns — pure
+    array/regexp codegen over one text column, shared by the audit frame
+    (:func:`gopher_rules`) and the inline gate (:func:`gopher_ok_expr`)."""
+    words = tokens(text_col)
+    n_words = F.size(words)
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    txt = F.col(text_col)
+
+    sum_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, r"#", ""))
+    n_ellipsis = (F.size(F.split(txt, r"\.\.\.", -1)) - 1) + (
+        F.size(F.split(txt, r"…", -1)) - 1
+    )
+    n_bullet_lines = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]\s")))
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop_types = F.size(F.array_intersect(words, stop_arr))
+
+    def _ratio_x10000(num: F.Column, den: F.Column) -> F.Column:
+        return F.floor(num * 10000 / F.greatest(den, F.lit(1))).cast("long")
+
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len_x100": F.floor(
+            sum_word_chars * 100 / F.greatest(n_words, F.lit(1))
+        ).cast("long"),
+        "symbol_word_ratio_x10000": _ratio_x10000(n_hash + n_ellipsis, n_words),
+        "bullet_line_frac_x10000": _ratio_x10000(n_bullet_lines, n_lines),
+        "ellipsis_line_frac_x10000": _ratio_x10000(n_ellipsis_lines, n_lines),
+        "alpha_word_frac_x10000": _ratio_x10000(n_alpha_words, n_words),
+        "stopword_types": n_stop_types.cast("long"),
+    }
+
+
+def gopher_ok_expr(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_x100: int = 300,
+    max_mean_word_len_x100: int = 1000,
+    max_symbol_word_ratio_x10000: int = 1000,
+    max_bullet_line_frac_x10000: int = 9000,
+    max_ellipsis_line_frac_x10000: int = 3000,
+    min_alpha_word_frac_x10000: int = 8000,
+    min_stopword_types: int = 2,
+) -> F.Column:
+    """The ``gopher_ok`` conjunction as a single boolean Column, for
+    gating with a plain ``df.filter(...)`` — no join, no shuffle, and no
+    plan collapse when the gate empties the corpus (a semi-join form lets
+    AQE's empty-relation propagation drop upstream CollectMetrics nodes).
+    Same thresholds and bit-exact features as :func:`gopher_rules`."""
+    f = _gopher_feature_exprs(text_col)
+    return (
+        (f["n_words"] >= min_words)
+        & (f["n_words"] <= max_words)
+        & (f["mean_word_len_x100"] >= min_mean_word_len_x100)
+        & (f["mean_word_len_x100"] <= max_mean_word_len_x100)
+        & (f["symbol_word_ratio_x10000"] <= max_symbol_word_ratio_x10000)
+        & (f["bullet_line_frac_x10000"] <= max_bullet_line_frac_x10000)
+        & (f["ellipsis_line_frac_x10000"] <= max_ellipsis_line_frac_x10000)
+        & (f["alpha_word_frac_x10000"] >= min_alpha_word_frac_x10000)
+        & (f["stopword_types"] >= min_stopword_types)
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_x100: int = 300,
+    max_mean_word_len_x100: int = 1000,
+    max_symbol_word_ratio_x10000: int = 1000,
+    max_bullet_line_frac_x10000: int = 9000,
+    max_ellipsis_line_frac_x10000: int = 3000,
+    min_alpha_word_frac_x10000: int = 8000,
+    min_stopword_types: int = 2,
+) -> DataFrame:
+    """The full Gopher document-level quality rule set (Rae et al. 2021,
+    §A1.1 Table A1), complementing the repetition subset in
+    :func:`repetition_ok`:
+
+      1. word count in [min_words, max_words]
+      2. mean word length in [3, 10] chars
+      3. symbol-to-word ratio ≤ 0.1 (symbols = '#' and ellipses '…'/'...')
+      4. ≤ 90% of lines start with a bullet ('-', '*', '•')
+      5. ≤ 30% of lines end with an ellipsis
+      6. ≥ 80% of words contain ≥ 1 alphabetic character
+      7. ≥ 2 distinct members of GOPHER_STOPWORDS present
+
+    All ratios are ×10000-floored ints (×100 for mean word length) so both
+    engines agree bit-for-bit, the house contract since quality_score.
+    Emits one feature column + one boolean per rule plus the conjunction
+    ``gopher_ok``.
+
+    Plan: every rule is pure array/regexp codegen on ONE scan — no
+    shuffle, no Python, no join; at 100 TB this is a free rider on
+    whatever scan the pipeline already does.  Thresholds are the paper's
+    constants; they are parameters because the paper itself retunes them
+    per corpus.
+    """
+    f = _gopher_feature_exprs(text_col)
+    feat = df.select(
+        F.col(id_col), *[f[name].alias(name) for name in _GOPHER_FEATURES]
+    )
+    rules = feat.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "rule_word_count"
+        ),
+        (
+            (F.col("mean_word_len_x100") >= min_mean_word_len_x100)
+            & (F.col("mean_word_len_x100") <= max_mean_word_len_x100)
+        ).alias("rule_mean_word_len"),
+        (F.col("symbol_word_ratio_x10000") <= max_symbol_word_ratio_x10000).alias(
+            "rule_symbol_ratio"
+        ),
+        (F.col("bullet_line_frac_x10000") <= max_bullet_line_frac_x10000).alias(
+            "rule_bullet_lines"
+        ),
+        (
+            F.col("ellipsis_line_frac_x10000") <= max_ellipsis_line_frac_x10000
+        ).alias("rule_ellipsis_lines"),
+        (F.col("alpha_word_frac_x10000") >= min_alpha_word_frac_x10000).alias(
+            "rule_alpha_words"
+        ),
+        (F.col("stopword_types") >= min_stopword_types).alias("rule_stopwords"),
+    )
+    return rules.withColumn(
+        "gopher_ok",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_symbol_ratio")
+        & F.col("rule_bullet_lines")
+        & F.col("rule_ellipsis_lines")
+        & F.col("rule_alpha_words")
+        & F.col("rule_stopwords"),
+    )
+
+
 # --- PII redaction ----------------------------------------------------------
 
 #: Patterns valid and equivalent in BOTH Java regex (Spark) and RE2

@@ -1841,3 +1841,145 @@ def test_bpe_encode_roundtrip(spark):
         for r in enc.select("doc_id", bpe_detokenize().alias("rt")).collect()
     }
     assert rt == {0: "newest low", 1: "zebra", 2: "", 3: "spaced out"}
+
+
+def test_gopher_rules_exact_values(spark):
+    """Every Gopher rule fired and passed at least once on hand-computed
+    docs; the driver row `gopher_quality` certifies the same expressions
+    against DuckDB on the real corpus (where bullets/ellipses don't occur)."""
+    good = "the " + "word " * 57 + "of have"           # 60 words, 3 stopwords
+    df = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "- a b\n- c d"),                        # every line bulleted
+            (2, "first line...\nsecond…\nthird"),       # ellipsis lines+symbols
+            (3, "123 456 789 word5"),                   # 1/4 alpha words
+            (4, "# # # word word"),                     # hash symbols
+            (5, "superlongwordoftwentych"),             # mean word len 23
+            (6, ""),                                    # empty text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in TS.gopher_rules(df).collect()}
+
+    r0 = rows[0]
+    assert (r0["n_words"], r0["mean_word_len_x100"], r0["stopword_types"]) == (
+        60, 395, 3)
+    assert r0["gopher_ok"]
+
+    assert rows[1]["bullet_line_frac_x10000"] == 10000
+    assert not rows[1]["rule_bullet_lines"]
+
+    r2 = rows[2]
+    assert r2["ellipsis_line_frac_x10000"] == 6666   # 2 of 3 lines
+    assert r2["symbol_word_ratio_x10000"] == 5000    # 2 symbols / 4 words
+    assert not r2["rule_ellipsis_lines"] and not r2["rule_symbol_ratio"]
+
+    assert rows[3]["alpha_word_frac_x10000"] == 2500
+    assert not rows[3]["rule_alpha_words"]
+
+    assert rows[4]["symbol_word_ratio_x10000"] == 6000
+    assert not rows[4]["rule_symbol_ratio"]
+
+    assert rows[5]["mean_word_len_x100"] == 2300
+    assert not rows[5]["rule_mean_word_len"]
+
+    r6 = rows[6]
+    assert (r6["n_words"], r6["mean_word_len_x100"]) == (0, 0)
+    assert not r6["rule_word_count"] and not r6["gopher_ok"]
+
+    # the inline-gate Column agrees with the audit frame's conjunction
+    gate_ids = {
+        r["doc_id"]
+        for r in df.filter(TS.gopher_ok_expr("text")).select("doc_id").collect()
+    }
+    assert gate_ids == {d for d, r in rows.items() if r["gopher_ok"]}
+
+    # rules are parameterized (the paper retunes per corpus)
+    loose = {
+        r["doc_id"]: r["gopher_ok"]
+        for r in TS.gopher_rules(
+            df, min_words=1, min_stopword_types=0,
+            min_mean_word_len_x100=100, max_mean_word_len_x100=10000,
+            min_alpha_word_frac_x10000=0,
+        ).collect()
+    }
+    assert loose[3] and loose[5] and not loose[1]
+
+
+def test_semdedup_planted_duplicate_and_sentinels(spark):
+    """SemDeDup predecessor rule on hand-built 2-D vectors: ids 0 and 1
+    are IDENTICAL, so whatever the (hash-chosen) centroid is they share
+    cent_sim exactly, tie-break ranks 0 before 1, and 1 must be the one
+    dropped with dup_of=0 and max_prior_sim=1.0 — the only pair over
+    threshold 0.99.  Rank-1 rows carry the (-2.0, -1, False) sentinels."""
+    from oplog_analyzer_spark.functions.semdedup import semdedup_verdicts
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),       # exact duplicate of 0
+        (2, [0.0, 1.0]),
+        (3, [0.6, 0.8]),       # cos 0.6 to id 0, 0.8 to id 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for hash_fn in ("xxhash64", "md5"):
+        out = {
+            r["id"]: r.asDict()
+            for r in semdedup_verdicts(
+                df, n_clusters=1, threshold=0.99, hash_fn=hash_fn
+            ).collect()
+        }
+        assert {i for i, r in out.items() if r["is_dup"]} == {1}
+        assert out[1]["dup_of"] == 0 and out[1]["max_prior_sim"] == 1.0
+        assert out[0]["cent_sim"] == out[1]["cent_sim"]
+        assert sorted(r["rnk"] for r in out.values()) == [1, 2, 3, 4]
+        first = next(r for r in out.values() if r["rnk"] == 1)
+        assert (first["max_prior_sim"], first["dup_of"], first["is_dup"]) == (
+            -2.0, -1, False)
+
+
+def test_semdedup_threshold_monotone_and_max_cluster_cap(spark):
+    """Drop set shrinks as the threshold rises; members ranked past
+    max_cluster are admitted with sentinel columns (the conservative
+    failure mode — missed drops, never false drops)."""
+    from oplog_analyzer_spark.functions.semdedup import semdedup_verdicts
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((60, 8))
+    mat[13] = mat[4] + 0.01 * rng.standard_normal(8)  # planted near-dup
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def dropset(**kw):
+        return {
+            r["id"]
+            for r in semdedup_verdicts(df, n_clusters=3, **kw).collect()
+            if r["is_dup"]
+        }
+
+    lo, hi = dropset(threshold=0.3), dropset(threshold=0.6)
+    assert hi <= lo
+    # exactly ONE of the planted near-identical pair is dropped even at
+    # 0.6 (which one depends on centroid-similarity rank: the member
+    # farther from the centroid is kept), attributed to the other
+    assert len({4, 13} & hi) == 1
+    dropped = ({4, 13} & hi).pop()
+    verdict = {
+        r["id"]: r
+        for r in semdedup_verdicts(df, n_clusters=3, threshold=0.6).collect()
+    }
+    assert verdict[dropped]["dup_of"] == ({4, 13} - {dropped}).pop()
+
+    capped = semdedup_verdicts(df, n_clusters=3, threshold=0.3, max_cluster=5)
+    for r in capped.collect():
+        if r["rnk"] > 5:
+            assert (r["max_prior_sim"], r["dup_of"], r["is_dup"]) == (
+                -2.0, -1, False)
+    # within the cap the verdicts match the uncapped run
+    uncapped = {
+        r["id"]: r["is_dup"]
+        for r in semdedup_verdicts(df, n_clusters=3, threshold=0.3).collect()
+    }
+    for r in capped.collect():
+        if r["rnk"] <= 5:
+            assert r["is_dup"] == uncapped[r["id"]]

@@ -433,6 +433,8 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--span-policy", "drop_all"],                        # no --span-dedup
         ["--trigram-top-k", "100"],                           # no --trigram-gate
         ["--bpe-vocab-words", "100"],                         # no --bpe-merges
+        ["--gopher-min-words", "10"],                         # no --gopher-gate
+        ["--gopher-min-stopwords", "1"],
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -465,6 +467,9 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
         ["--span-dedup", "8", "--span-policy", "drop_all"],
         ["--trigram-gate", "5000", "--trigram-top-k", "200"],
         ["--bpe-merges", "20", "--bpe-vocab-words", "500", "--pack", "32"],
+        # 18-word docs with 2 GOPHER_STOPWORDS types pass the full rule set
+        # once the word-count floor is corpus-tuned
+        ["--gopher-gate", "--gopher-min-words", "10"],
     ]
     for i, extra in enumerate(cases):
         out = str(tmp_path / f"out_ok_{i}")
@@ -487,6 +492,14 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
     # explicit --pack-buckets pins bucket ids under the given count
     packed = spark.read.parquet(str(tmp_path / "out_ok_5"))
     assert packed.agg({"bucket": "max"}).collect()[0][0] < 4
+
+    # the gopher gate actually gates: an unreachable word-count floor
+    # empties the corpus, and the stage count says so
+    out = str(tmp_path / "out_gopher_all")
+    printed = _run(main, ["--input", src, "--output", out, "--gopher-gate",
+                          "--gopher-min-words", "19"], monkeypatch, capsys)
+    summary = json.loads(printed.strip().splitlines()[-1])
+    assert summary["rows_in"] == 40 and summary["rows_after_gopher"] == 0
 
 
 def test_run_dataset_decontam_repetition_redact_stages(
