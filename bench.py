@@ -56,6 +56,13 @@ QUERY_REV = {
     # doc-frequency)
     "trigram_quality": 1,
     "dup_span_stats": 1,
+    # r6 additions: SemDeDup (md5-certified row — the md5 is one hash per
+    # id in the centroid pick, not the dominant term; the matmul + cluster
+    # shuffle are) and production-form DSIR selection (xxhash64 grams;
+    # the md5 twin dsir_weights would bench the certification hash, not
+    # the operator)
+    "semdedup": 1,
+    "dsir_select": 1,
 }
 
 HEADLINE_QUERIES = [
@@ -79,6 +86,8 @@ HEADLINE_QUERIES = [
     "sampling_split_counts",
     "sequence_packing",
     "dedup_cc_clusters",
+    "semdedup",
+    "dsir_select",
     "decontam_report",
     "trigram_quality",
     "dup_span_stats",

@@ -1,8 +1,9 @@
 """spark-submit entry point: the training-data pipeline over a documents
-table — decontaminate → dedup → quality/repetition gates → PII redaction →
-split → stratified sample → pack → epoch shuffle, every stage optional and
-composable (the §2.11 operator family as a runnable command, the way
-run_scan/run_tail expose the reference's surface).
+table — decontaminate → dedup (lexical + SemDeDup semantic) →
+quality/repetition/Gopher gates → PII redaction → DSIR importance
+selection → split → stratified sample → pack → epoch shuffle, every stage
+optional and composable (the §2.11 operator family as a runnable command,
+the way run_scan/run_tail expose the reference's surface).
 
   spark-submit --py-files dist/oplog_analyzer_spark.zip jobs/run_dataset.py \
     --input docs.parquet --output <dir> \
@@ -13,8 +14,12 @@ run_scan/run_tail expose the reference's surface).
     [--minhash-hashes 32] [--minhash-bands 8] [--max-bucket N] \
     [--simhash-hamming 3] [--simhash-blocks 4] [--match-blocks 1] \
     [--span-dedup 64] [--span-policy keep_first|drop_all] \
+    [--semdedup embeddings.parquet] [--semdedup-threshold 0.9] \
+    [--semdedup-clusters 1024] [--semdedup-max-cluster N] \
+    [--semdedup-vec-id vec_id] [--semdedup-vec-col embedding] \
     [--quality-gate] [--repetition-gate] [--redact-pii] \
     [--gopher-gate] [--gopher-min-words 50] [--gopher-min-stopwords 2] \
+    [--dsir-select K] [--dsir-target lang=en] [--dsir-buckets 64] \
     [--trigram-gate 5000] [--trigram-top-k 1000] \
     [--bpe-merges 1000] [--bpe-vocab-words 1000000] \
     [--split train=0.98,val=0.01,test=0.01] \
@@ -143,6 +148,39 @@ def main() -> None:
                     help="distinct GOPHER_STOPWORDS required for "
                     "--gopher-gate (default 2; tune down for corpora whose "
                     "vocabulary misses the English stop-word set)")
+    ap.add_argument("--semdedup",
+                    help="SemDeDup semantic dedup: path to an embeddings "
+                    "parquet whose --semdedup-vec-id column matches "
+                    "--id-col values; docs whose vector draws is_dup=true "
+                    "(functions/semdedup.py predecessor rule) are dropped")
+    ap.add_argument("--semdedup-threshold", type=float,
+                    help="cosine drop threshold for --semdedup "
+                    "(default 0.9, the paper's production setting)")
+    ap.add_argument("--semdedup-clusters", type=int,
+                    help="number of hash-seeded centroids for --semdedup "
+                    "(default 1024; scale with corpus size — each cluster "
+                    "is materialized whole on one executor)")
+    ap.add_argument("--semdedup-max-cluster", type=int,
+                    help="cap on members compared per cluster for "
+                    "--semdedup (beyond-cap members are admitted — missed "
+                    "drops, never false drops)")
+    ap.add_argument("--semdedup-vec-id",
+                    help="id column of the --semdedup embeddings table "
+                    "(default vec_id)")
+    ap.add_argument("--semdedup-vec-col",
+                    help="vector column of the --semdedup embeddings "
+                    "table (default embedding)")
+    ap.add_argument("--dsir-select", type=int,
+                    help="DSIR importance selection: keep the top-K docs "
+                    "by hashed-ngram importance weight against the "
+                    "--dsir-target subset (functions/dsir.py)")
+    ap.add_argument("--dsir-target",
+                    help="COL=VALUE predicate defining the DSIR target "
+                    "distribution (e.g. lang=en); required with "
+                    "--dsir-select")
+    ap.add_argument("--dsir-buckets", type=int,
+                    help="hashed-ngram bucket count for --dsir-select "
+                    "(default 64)")
     ap.add_argument("--bpe-merges", type=int,
                     help="learn a BPE merge table of this size on the "
                     "post-gate corpus (one word-count scan + bounded "
@@ -220,6 +258,17 @@ def main() -> None:
     _require("--min-chunk-tokens", args.chunk is not None, "with --chunk")
     _require("--gopher-min-words", args.gopher_gate, "with --gopher-gate")
     _require("--gopher-min-stopwords", args.gopher_gate, "with --gopher-gate")
+    _require("--semdedup-threshold", args.semdedup is not None, "with --semdedup")
+    _require("--semdedup-clusters", args.semdedup is not None, "with --semdedup")
+    _require("--semdedup-max-cluster", args.semdedup is not None,
+             "with --semdedup")
+    _require("--semdedup-vec-id", args.semdedup is not None, "with --semdedup")
+    _require("--semdedup-vec-col", args.semdedup is not None, "with --semdedup")
+    _require("--dsir-target", args.dsir_select is not None, "with --dsir-select")
+    _require("--dsir-buckets", args.dsir_select is not None, "with --dsir-select")
+    if args.dsir_select is not None:
+        if args.dsir_target is None or "=" not in args.dsir_target:
+            ap.error("--dsir-select requires --dsir-target COL=VALUE")
     _require("--decontam-ngram", args.decontam is not None, "with --decontam")
     _require("--decontam-min-hits", args.decontam is not None, "with --decontam")
     _require("--mix-domain", args.mix_weights is not None, "with --mix-weights")
@@ -328,6 +377,35 @@ def main() -> None:
         ).select(base_cols)
         df = observe("rows_after_span_dedup", df)
 
+    if args.semdedup:
+        from oplog_analyzer_spark.functions.semdedup import semdedup_verdicts
+
+        vec_id = args.semdedup_vec_id or "vec_id"
+        emb = spark.read.parquet(args.semdedup)
+        # only vectors whose doc survives the upstream stages participate
+        # (a dropped doc must not shield its semantic twin from keeping)
+        emb = emb.join(
+            df.select(F.col(args.id_col).alias(vec_id)), vec_id, "left_semi"
+        )
+        verdicts = semdedup_verdicts(
+            emb,
+            id_col=vec_id,
+            vec_col=args.semdedup_vec_col or "embedding",
+            n_clusters=args.semdedup_clusters or 1024,
+            threshold=(
+                0.9 if args.semdedup_threshold is None
+                else args.semdedup_threshold
+            ),
+            seed=args.seed,
+            hash_fn=args.hash,
+            max_cluster=args.semdedup_max_cluster,
+        )
+        df = df.join(
+            verdicts.filter("is_dup").select(F.col("id").alias(args.id_col)),
+            args.id_col, "left_anti",
+        )
+        df = observe("rows_after_semdedup", df)
+
     if args.quality_gate:
         base_cols = df.columns
         df = TS.quality_score(df, args.text_col).filter("quality_ok").select(base_cols)
@@ -377,6 +455,27 @@ def main() -> None:
         base_cols = df.columns
         df = TS.redact_pii(df, text_col=args.text_col, out_col="__redacted")
         df = df.withColumn(args.text_col, F.col("__redacted")).select(base_cols)
+
+    dsir_persisted = None
+    if args.dsir_select is not None:
+        from oplog_analyzer_spark.functions.dsir import dsir_weights as _dsir
+
+        # the score plan reads df three ways (raw counts, target counts,
+        # score join) and the k-th-threshold probe is an action; persist
+        # so all of them and the final write share one upstream pass
+        dsir_persisted = df = df.persist()
+        tcol, _, tval = args.dsir_target.partition("=")
+        scores = _dsir(
+            df, df.filter(F.col(tcol) == tval),
+            id_col=args.id_col, text_col=args.text_col,
+            n_buckets=args.dsir_buckets or 64,
+            seed=args.seed, hash_fn=args.hash, k=args.dsir_select,
+        )
+        df = df.join(
+            scores.filter("selected").select(F.col("id").alias(args.id_col)),
+            args.id_col, "left_semi",
+        )
+        df = observe("rows_after_dsir", df)
 
     bpe_persisted = None
     if args.bpe_merges:
@@ -477,6 +576,8 @@ def main() -> None:
         trigram_persisted.unpersist()
     if bpe_persisted is not None:
         bpe_persisted.unpersist()
+    if dsir_persisted is not None:
+        dsir_persisted.unpersist()
 
     def _obs_rows(obs) -> int:
         # When an upstream gate empties the frame, AQE's empty-relation

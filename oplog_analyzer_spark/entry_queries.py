@@ -2974,6 +2974,244 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dsir_weights",
+    r"""
+WITH words AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT id, unnest(list_concat(
+           w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         )) AS g
+  FROM words
+), counts AS (
+  SELECT id,
+         CAST(('0x' || substr(md5('7:' || g), 1, 8)) AS BIGINT) % 64 AS bucket,
+         count(*) AS c
+  FROM grams GROUP BY 1, 2
+), q AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS q_cnt FROM counts GROUP BY 1
+), p AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS p_cnt FROM counts
+  WHERE id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY 1
+), tot AS (
+  SELECT CAST((SELECT sum(c) FROM counts) AS BIGINT) AS q_tot,
+         CAST((SELECT sum(c) FROM counts
+               WHERE id IN (SELECT doc_id FROM documents WHERE lang = 'en'))
+              AS BIGINT) AS p_tot
+), ratios AS (
+  SELECT q.bucket,
+         CAST(floor(ln(
+           (CAST(coalesce(p.p_cnt, 0) + 1 AS DOUBLE) * CAST(t.q_tot + 64 AS DOUBLE))
+           / (CAST(q.q_cnt + 1 AS DOUBLE) * CAST(t.p_tot + 64 AS DOUBLE))
+         ) * 1000000) AS BIGINT) AS r_micro
+  FROM q LEFT JOIN p USING (bucket), tot t
+), scores AS (
+  SELECT c.id, CAST(sum(c.c) AS BIGINT) AS n_feats,
+         CAST(sum(c.c * r.r_micro) AS BIGINT) AS score_micro
+  FROM counts c JOIN ratios r ON r.bucket = c.bucket GROUP BY 1
+)
+SELECT d.doc_id AS id,
+       coalesce(s.n_feats, 0) AS n_feats,
+       coalesce(s.score_micro, 0) AS score_micro,
+       CAST(CASE WHEN coalesce(s.n_feats, 0) = 0 THEN 0
+                 ELSE floor(s.score_micro / s.n_feats) END AS BIGINT)
+         AS score_per_feat,
+       (row_number() OVER (
+          ORDER BY coalesce(s.score_micro, 0) DESC, d.doc_id ASC) <= 100)
+         AS selected
+FROM documents d LEFT JOIN scores s ON s.id = d.doc_id
+""",
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): hashed
+    unigram+bigram bag (64 md5 buckets), add-one-smoothed target/raw
+    bucket log-ratios in floored micro-nats, exact-integer per-doc
+    scores, and the top-100 selection verdict — the full frame re-derived
+    by the oracle (the Spark side selects via a distributed k-th
+    threshold + broadcast compare, the oracle via one window; identical
+    verdicts by the shared (score DESC, id ASC) total order).  Target
+    distribution = the lang='en' subset; on this corpus en docs average
+    positive score_per_feat and take 65 of the 100 slots, so the tilt is
+    exercised non-vacuously."""
+    from .functions.dsir import dsir_weights as _dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _dsir(
+        docs, docs.filter("lang = 'en'"), hash_fn="md5", k=100
+    )
+
+
+def _crosscorpus_md5_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of dedup_against(hash_fn='md5') over the synthesized
+    new-vs-base snapshot pair (_crosscorpus_new): the minhash CTE chain of
+    _minhash_md5_oracle instantiated per corpus, the self-join replaced by
+    the new × base bucket join, plus the exact normalized-text match."""
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(CAST(('0x' || substr(md5('{i}:' || s), 1, 8)) AS BIGINT)) AS m{i}"
+        for i in range(num_hashes)
+    )
+
+    def band_rows(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            "  SELECT id, n_sh, {b} AS band, md5({expr}) AS bucket FROM {src}".format(
+                b=b,
+                src=src,
+                expr=" || ',' || ".join(
+                    f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+                ),
+            )
+            for b in range(bands)
+        )
+
+    return f"""
+WITH newdocs AS (
+  SELECT doc_id + 1000000 AS id, text || ' qq zz' AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(list_reverse(string_split_regex(trim(text), '\\s+')), ' ')
+  FROM documents WHERE doc_id % 11 = 3
+), base_toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), new_toks AS (
+  SELECT id, string_split_regex(trim(text), '\\s+') AS t FROM newdocs
+), base_shing AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM base_toks
+), new_shing AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS sh
+  FROM new_toks
+), base_ex AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM base_shing
+), new_ex AS (
+  SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM new_shing
+), base_mins AS (
+  SELECT id, min(n_sh) AS n_sh,
+         {mins}
+  FROM base_ex GROUP BY id
+), new_mins AS (
+  SELECT id, min(n_sh) AS n_sh,
+         {mins}
+  FROM new_ex GROUP BY id
+), base_banded AS (
+{band_rows("base_mins")}
+), new_banded AS (
+{band_rows("new_mins")}
+), cand AS (
+  SELECT DISTINCT x.id AS new_id, y.id AS base_id, x.n_sh AS n_a, y.n_sh AS n_b
+  FROM new_banded x JOIN base_banded y
+    ON x.band = y.band AND x.bucket = y.bucket
+), pairs AS (
+  SELECT c.new_id, c.base_id, c.n_a, c.n_b, count(*) AS inter
+  FROM cand c
+  JOIN new_ex ea ON ea.id = c.new_id
+  JOIN base_ex eb ON eb.id = c.base_id AND eb.s = ea.s
+  GROUP BY 1, 2, 3, 4
+), verified AS (
+  SELECT new_id, base_id, inter, n_a + n_b - inter AS uni FROM pairs
+  WHERE inter >= (n_a + n_b - inter) * {threshold}
+), near AS (
+  SELECT new_id, base_id AS near_base_id, inter AS near_inter,
+         uni AS near_uni,
+         count(*) OVER (PARTITION BY new_id) AS n_near,
+         row_number() OVER (PARTITION BY new_id ORDER BY base_id) AS rn
+  FROM verified
+), ex_match AS (
+  SELECT n.id, min(d.doc_id) AS exact_base_id
+  FROM newdocs n JOIN documents d
+    ON regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g') =
+       regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')
+  GROUP BY 1
+)
+SELECT n.id,
+       coalesce(e.exact_base_id, -1) AS exact_base_id,
+       coalesce(nr.near_base_id, -1) AS near_base_id,
+       CAST(coalesce(nr.near_inter, 0) AS BIGINT) AS near_inter,
+       CAST(coalesce(nr.near_uni, 0) AS BIGINT) AS near_uni,
+       CAST(coalesce(nr.n_near, 0) AS BIGINT) AS n_near,
+       (coalesce(e.exact_base_id, -1) >= 0
+        OR coalesce(nr.near_base_id, -1) >= 0) AS is_dup
+FROM newdocs n
+LEFT JOIN ex_match e ON e.id = n.id
+LEFT JOIN (SELECT * FROM near WHERE rn = 1) nr ON nr.new_id = n.id
+"""
+
+
+def _crosscorpus_new(docs: DataFrame) -> DataFrame:
+    """Deterministic 'next snapshot' synthesized from the documents table:
+    near-dups of every doc_id%5==0 doc (text + ' qq zz', a
+    high-but-not-exact jaccard clone — the streaming rows' planting
+    pattern), exact copies of every doc_id%7==1 doc, and word-reversed
+    doc_id%11==3 docs (same vocabulary, disjoint 3-gram shingles — must
+    NOT match)."""
+    near = docs.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+    )
+    exact = docs.filter("doc_id % 7 = 1").select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter("doc_id % 11 = 3").select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+            "text"
+        ),
+    )
+    return near.unionByName(exact).unionByName(fresh)
+
+
+@_q(
+    "crosscorpus_dedup",
+    _crosscorpus_md5_oracle(num_hashes=16, bands=4, threshold=0.5),
+)
+def crosscorpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus (snapshot-over-snapshot) dedup verdicts in md5 mode:
+    the new corpus is a deterministic synthesis over the base documents
+    (planted near-dups, exact copies, and word-reversed negatives), and
+    the oracle re-derives the ENTIRE verdict frame — normalized-text exact
+    match, per-corpus minhash signatures, the new × base bucket join,
+    exact-jaccard verification, best-match attribution, sentinels — from
+    first principles."""
+    from .functions.dedup import dedup_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_against(
+        _crosscorpus_new(docs),
+        docs,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+        hash_fn="md5",
+    )
+
+
+@_q("dsir_select")
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-form DSIR selection (xxhash64 gram hashing — one JVM
+    hash per gram instead of an md5 per gram, which would dominate the
+    feature stage at corpus scale).  Rows-only: xxhash64 has no SQL twin;
+    the md5-certified twin of the SAME plan is `dsir_weights`.  This is
+    the bench headliner for the DSIR stage."""
+    from .functions.dsir import dsir_weights as _dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _dsir(docs, docs.filter("lang = 'en'"), hash_fn="xxhash64", k=100)
+
+
 def _neardup_stream_published(spark: SparkSession, sf_dir: str) -> str:
     """Two-drain streaming NEAR-dup (minhash/LSH admission) over the same
     deterministic id-ordered feed pattern as :func:`_dedup_stream_published`,

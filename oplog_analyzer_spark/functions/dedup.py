@@ -899,3 +899,120 @@ def remove_duplicated_spans(
         .withColumn(text_col, F.col("__clean"))
         .drop("__clean")
     )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus dedup: for every NEW doc, does it exact- or near-match
+    any BASE doc?  The snapshot-over-snapshot question ("don't re-admit
+    what the last crawl already contributed") the within-corpus family
+    can't answer — candidates are ONLY new × base (never new² or base²),
+    so re-processing a grown corpus costs the delta, not the square.
+
+    Returns one row per new doc:
+      * ``exact_base_id`` — min base id with byte-identical normalized
+        text (−1 when none);
+      * ``near_base_id, near_inter, near_uni`` — the lexicographically
+        smallest verified near-match (min base id; its exact shingle
+        intersection/union), sentinels (−1, 0, 0) when none;
+      * ``n_near`` — count of verified near-matching base docs;
+      * ``is_dup`` — exact OR near verdict; ``filter(~is_dup)`` is the
+        admissible delta.
+
+    Plan: exact = one hash aggregate over base (shuffle ∝ distinct base
+    texts) + one join keyed on the normalized-text hash; near = the
+    minhash_lsh_pairs machinery with the self-join replaced by a
+    new-banded × base-banded join on (band, bucket) and exact-jaccard
+    verification of only the candidate set.  ``max_bucket`` caps the BASE
+    side per (band, bucket) — the index side is where clone floods live;
+    a flood of identical new docs costs one base row each regardless.
+    ``hash_fn="md5"`` makes the whole verdict frame SQL-oracle
+    reproducible (the `crosscorpus_dedup` driver row)."""
+    new_ids = new_df.select(F.col(id_col).alias("id"))
+
+    # exact: min base id per normalized text, joined on the text hash
+    base_exact = (
+        base_df.select(_normalized(text_col).alias("_norm"), F.col(id_col).alias("bid"))
+        .groupBy("_norm")
+        .agg(F.min("bid").alias("exact_base_id"))
+    )
+    exact = (
+        new_df.select(F.col(id_col).alias("id"), _normalized(text_col).alias("_norm"))
+        .join(base_exact, "_norm", "left")
+        .select("id", "exact_base_id")
+    )
+
+    # near: band both corpora, join across, verify exact jaccard
+    b_new = minhash_banded(
+        minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n, hash_fn),
+        num_hashes, bands, hash_fn,
+    )
+    b_base = minhash_banded(
+        minhash_signatures(base_df, id_col, text_col, num_hashes, shingle_n, hash_fn),
+        num_hashes, bands, hash_fn,
+    )
+    if max_bucket is not None:
+        cap_w = Window.partitionBy("band", "bucket").orderBy(
+            _seeded_hash(0, F.concat_ws(":", "band", "id"), hash_fn)
+            if hash_fn == "md5"
+            else F.xxhash64(F.lit(0), "band", "id")
+        )
+        b_base = (
+            b_base.withColumn("__r", F.row_number().over(cap_w))
+            .filter(F.col("__r") <= max_bucket)
+            .drop("__r")
+        )
+    cand = (
+        b_new.alias("x")
+        .join(
+            b_base.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("base_id"))
+        .distinct()
+    )
+    sh_new = new_df.select(
+        F.col(id_col).alias("new_id"), shingles(text_col, shingle_n).alias("sh_a")
+    )
+    sh_base = base_df.select(
+        F.col(id_col).alias("base_id"), shingles(text_col, shingle_n).alias("sh_b")
+    )
+    verified = (
+        cand.join(sh_new, "new_id")
+        .join(sh_base, "base_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .filter(F.col("inter") >= F.col("uni") * threshold)
+        .select("new_id", "base_id", "inter", "uni")
+    )
+    near = verified.groupBy("new_id").agg(
+        F.min(F.struct("base_id", "inter", "uni")).alias("best"),
+        F.count(F.lit(1)).alias("n_near"),
+    )
+    return (
+        new_ids.join(exact, "id", "left")
+        .join(near.withColumnRenamed("new_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("exact_base_id", F.lit(-1)).alias("exact_base_id"),
+            F.coalesce(F.col("best.base_id"), F.lit(-1)).alias("near_base_id"),
+            F.coalesce(F.col("best.inter"), F.lit(0)).cast("long").alias("near_inter"),
+            F.coalesce(F.col("best.uni"), F.lit(0)).cast("long").alias("near_uni"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+            (
+                (F.coalesce("exact_base_id", F.lit(-1)) >= 0)
+                | (F.coalesce(F.col("best.base_id"), F.lit(-1)) >= 0)
+            ).alias("is_dup"),
+        )
+    )

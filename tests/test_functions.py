@@ -1983,3 +1983,59 @@ def test_semdedup_threshold_monotone_and_max_cluster_cap(spark):
     for r in capped.collect():
         if r["rnk"] <= 5:
             assert r["is_dup"] == uncapped[r["id"]]
+
+
+def test_dsir_tilts_toward_target_vocabulary(spark):
+    """DSIR scores rank docs sharing the target subset's vocabulary above
+    docs that don't; empty docs re-attach with (0, 0, 0); exactly k rows
+    are selected and they are the top-k by (score_micro DESC, id ASC)."""
+    from oplog_analyzer_spark.functions.dsir import dsir_weights
+
+    rows = [
+        (0, "alpha beta gamma alpha beta", "t"),       # target
+        (1, "alpha gamma beta beta alpha", "t"),       # target
+        (2, "alpha beta gamma beta alpha", "r"),       # raw, target-like
+        (3, "zeta eta theta iota kappa", "r"),         # raw, disjoint vocab
+        (4, "zeta theta eta kappa iota", "r"),
+        (5, "", "r"),                                  # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    for hash_fn in ("xxhash64", "md5"):
+        out = {
+            r["id"]: r.asDict()
+            for r in dsir_weights(
+                df, df.filter("grp = 't'"), hash_fn=hash_fn, k=3
+            ).collect()
+        }
+        assert len(out) == 6
+        assert (out[5]["n_feats"], out[5]["score_micro"]) == (0, 0)
+        # the target-like raw doc outscores the disjoint-vocab docs
+        assert out[2]["score_micro"] > out[3]["score_micro"]
+        assert out[2]["score_micro"] > out[4]["score_micro"]
+        sel = {i for i, r in out.items() if r["selected"]}
+        top3 = [
+            i for i, _ in sorted(
+                out.items(), key=lambda kv: (-kv[1]["score_micro"], kv[0])
+            )[:3]
+        ]
+        # selection IS the (score DESC, id ASC) top-k; the target docs
+        # make the cut (the empty doc's 0 can outrank negative raw docs
+        # on a corpus this tiny — that's the scoring, not a bug)
+        assert sel == set(top3) and {0, 1} <= sel and 3 not in sel
+
+
+def test_dsir_selected_edge_cases(spark):
+    """k >= n selects everything; score ties break by ascending id (the
+    k-th threshold is a (negated-score, id) struct compare)."""
+    from oplog_analyzer_spark.functions.dsir import dsir_scores, dsir_selected
+
+    scores = spark.createDataFrame(
+        [(10, 4, 100, 25), (11, 4, 100, 25), (12, 4, 50, 12)],
+        "id long, n_feats long, score_micro long, score_per_feat long",
+    )
+    all_sel = dsir_selected(scores, k=5).collect()
+    assert all(r["selected"] for r in all_sel)
+    two = {r["id"]: r["selected"] for r in dsir_selected(scores, k=2).collect()}
+    assert two == {10: True, 11: True, 12: False}
+    one = {r["id"]: r["selected"] for r in dsir_selected(scores, k=1).collect()}
+    assert one == {10: True, 11: False, 12: False}  # tie -> smaller id

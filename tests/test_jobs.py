@@ -435,6 +435,13 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--bpe-vocab-words", "100"],                         # no --bpe-merges
         ["--gopher-min-words", "10"],                         # no --gopher-gate
         ["--gopher-min-stopwords", "1"],
+        ["--semdedup-threshold", "0.8"],                      # no --semdedup
+        ["--semdedup-clusters", "4"],
+        ["--semdedup-max-cluster", "10"],
+        ["--dsir-target", "lang=en"],                         # no --dsir-select
+        ["--dsir-buckets", "32"],
+        ["--dsir-select", "5"],                               # missing target
+        ["--dsir-select", "5", "--dsir-target", "lang"],      # malformed
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -470,6 +477,8 @@ def test_run_dataset_per_strategy_happy_paths(spark, tmp_path, monkeypatch, caps
         # 18-word docs with 2 GOPHER_STOPWORDS types pass the full rule set
         # once the word-count floor is corpus-tuned
         ["--gopher-gate", "--gopher-min-words", "10"],
+        ["--dsir-select", "25", "--dsir-target", "lang=en",
+         "--dsir-buckets", "32"],
     ]
     for i, extra in enumerate(cases):
         out = str(tmp_path / f"out_ok_{i}")
@@ -640,3 +649,48 @@ def test_run_dedup_stream_neardup_mode(spark, tmp_path, monkeypatch, capsys):
         _run(main, ["--input", input_dir, "--work-dir", work,
                     "--mode", "neardup", "--top-dups", "5"],
              monkeypatch, capsys)
+
+
+def test_run_dataset_semdedup_and_dsir_stages(spark, tmp_path, monkeypatch, capsys):
+    """--semdedup drops exactly the is_dup docs (planted identical-vector
+    pairs) and --dsir-select keeps exactly K; stage counts in the summary
+    line agree."""
+    import json
+
+    src = _dataset_corpus(spark, tmp_path)
+    # 40 embeddings: ids 2k and 2k+1 share one vector -> 20 identical
+    # pairs; with threshold 0.99 one of each pair must drop
+    rows = [
+        (i, [float((i // 2) % 5 + 1), float((i // 2) % 7 + 1),
+             float((i // 2) % 3 + 1)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb_path = str(tmp_path / "emb")
+    emb.write.mode("overwrite").parquet(emb_path)
+
+    from jobs.run_dataset import main
+
+    out = str(tmp_path / "out_semdedup")
+    printed = _run(main, [
+        "--input", src, "--output", out,
+        "--semdedup", emb_path, "--semdedup-threshold", "0.999999",
+        "--semdedup-clusters", "2",
+    ], monkeypatch, capsys)
+    summary = json.loads(printed.strip().splitlines()[-1])
+    # ids (i//2)%5 / %7 / %3 collide across pairs too (vector repeats every
+    # 210 half-ids), so at least the 20 planted twins drop
+    assert summary["rows_in"] == 40
+    assert summary["rows_after_semdedup"] <= 20
+    assert summary["rows_after_semdedup"] >= 1
+    kept = spark.read.parquet(out)
+    assert kept.count() == summary["rows_after_semdedup"]
+
+    out2 = str(tmp_path / "out_dsir")
+    printed = _run(main, [
+        "--input", src, "--output", out2,
+        "--dsir-select", "7", "--dsir-target", "lang=en",
+    ], monkeypatch, capsys)
+    summary = json.loads(printed.strip().splitlines()[-1])
+    assert summary["rows_after_dsir"] == 7
+    assert spark.read.parquet(out2).count() == 7
