@@ -1,5 +1,6 @@
 """spark-submit entry point: the training-data pipeline over a documents
-table — decontaminate → dedup (lexical + SemDeDup semantic) →
+table — decontaminate (n-gram + embedding-space semantic) → dedup
+(lexical + SemDeDup semantic) →
 quality/repetition/Gopher gates → PII redaction → DSIR importance
 selection → split → stratified sample → pack → epoch shuffle, every stage
 optional and composable (the §2.11 operator family as a runnable command,
@@ -8,6 +9,9 @@ the way run_scan/run_tail expose the reference's surface).
   spark-submit --py-files dist/oplog_analyzer_spark.zip jobs/run_dataset.py \
     --input docs.parquet --output <dir> \
     [--decontam eval.parquet] [--decontam-ngram 3] [--decontam-min-hits 1] \
+    [--sem-decontam eval_emb.parquet] [--sem-decontam-emb train_emb.parquet] \
+    [--sem-decontam-threshold 0.9] [--sem-decontam-vec-id vec_id] \
+    [--sem-decontam-vec-col embedding] \
     [--dedup exact|ngram|minhash|simhash] \
     [--dedup-policy greedy|component_min|keep_best] \
     [--cluster-report <parquet>] [--dedup-threshold 0.8] \
@@ -88,6 +92,26 @@ def main() -> None:
     ap.add_argument("--decontam-min-hits", type=int,
                     help="shared distinct n-grams required to drop a doc "
                     "(default 1)")
+    ap.add_argument("--sem-decontam",
+                    help="semantic decontamination: parquet path of EVAL "
+                    "embeddings; training docs whose --sem-decontam-emb "
+                    "vector has max cosine >= --sem-decontam-threshold "
+                    "against any eval vector are dropped (paraphrased "
+                    "leakage the n-gram --decontam cannot see)")
+    ap.add_argument("--sem-decontam-emb",
+                    help="parquet path of TRAIN embeddings whose "
+                    "--sem-decontam-vec-id column matches --id-col values; "
+                    "required with --sem-decontam (docs without a vector "
+                    "are conservatively kept)")
+    ap.add_argument("--sem-decontam-threshold", type=float,
+                    help="cosine contamination threshold for --sem-decontam "
+                    "(default 0.9)")
+    ap.add_argument("--sem-decontam-vec-id",
+                    help="id column of both --sem-decontam embedding tables "
+                    "(default vec_id)")
+    ap.add_argument("--sem-decontam-vec-col",
+                    help="vector column of both --sem-decontam embedding "
+                    "tables (default embedding)")
     ap.add_argument("--dedup-threshold", type=float,
                     help="jaccard threshold for --dedup ngram|minhash "
                     "(default 0.8; rejected with other strategies — simhash "
@@ -271,6 +295,16 @@ def main() -> None:
             ap.error("--dsir-select requires --dsir-target COL=VALUE")
     _require("--decontam-ngram", args.decontam is not None, "with --decontam")
     _require("--decontam-min-hits", args.decontam is not None, "with --decontam")
+    _require("--sem-decontam-emb", args.sem_decontam is not None,
+             "with --sem-decontam")
+    _require("--sem-decontam-threshold", args.sem_decontam is not None,
+             "with --sem-decontam")
+    _require("--sem-decontam-vec-id", args.sem_decontam is not None,
+             "with --sem-decontam")
+    _require("--sem-decontam-vec-col", args.sem_decontam is not None,
+             "with --sem-decontam")
+    if args.sem_decontam is not None and args.sem_decontam_emb is None:
+        ap.error("--sem-decontam requires --sem-decontam-emb")
     _require("--mix-domain", args.mix_weights is not None, "with --mix-weights")
     _require("--cluster-report",
              args.dedup_policy in ("component_min", "keep_best"),
@@ -306,6 +340,23 @@ def main() -> None:
             n=args.decontam_ngram or 3, min_hits=args.decontam_min_hits or 1,
         )
         df = observe("rows_after_decontam", df)
+
+    if args.sem_decontam:
+        from oplog_analyzer_spark.functions import decontam as DC
+
+        df = DC.semantic_decontaminate(
+            df,
+            spark.read.parquet(args.sem_decontam_emb),
+            spark.read.parquet(args.sem_decontam),
+            id_col=args.id_col,
+            vec_id_col=args.sem_decontam_vec_id or "vec_id",
+            vec_col=args.sem_decontam_vec_col or "embedding",
+            threshold=(
+                0.9 if args.sem_decontam_threshold is None
+                else args.sem_decontam_threshold
+            ),
+        )
+        df = observe("rows_after_sem_decontam", df)
 
     if args.dedup == "exact":
         keep = D.exact_dedup(df, args.id_col, args.text_col).select(

@@ -104,3 +104,144 @@ def decontaminate(
         docs, bench, id_col=id_col, text_col=text_col, n=n, min_hits=min_hits
     ).select(id_col)
     return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+def semantic_contamination_report(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    threshold: float = 0.9,
+    max_eval: int = 100_000,
+) -> DataFrame:
+    """Embedding-space contamination: per TRAIN vector, its max cosine
+    against the whole EVAL embedding set, the eval id achieving it
+    (ties → smallest eval id), the count of eval vectors at or above
+    ``threshold``, and the ``contaminated`` verdict (``max_sim ≥
+    threshold``, computed on the exact double before the 4-dp display
+    rounding) — the semantic complement of the n-gram
+    :func:`contamination_report` (paraphrased eval leakage has no shared
+    n-grams but lands next to the eval point in embedding space).
+
+    Scale shape — the corpus is NEVER shuffled and never joined:
+
+      1. the eval set (bounded: eval suites are thousands of vectors;
+         ``max_eval`` guards the collect, default 100 k × 1 KiB/vector
+         ≈ 100 MiB closure) is collected once, L2-normalized, sorted by
+         id, and shipped in the UDF closure — the IVF-centroid pattern
+         (``similarity.py::ivf_topk``);
+      2. one vectorized pandas UDF computes ALL verdict fields from a
+         single (batch × dim) @ (dim × eval) numpy matmul per Arrow
+         batch — zero shuffle, zero join, O(1) plan size in |eval|.
+
+    Zero-norm train vectors score ``max_sim`` against the raw dot (0.0
+    with every eval point) instead of dividing by zero; an EMPTY eval
+    set yields the (-2.0, -1, 0, false) sentinel row per train vector.
+    Returns ``(id, max_sim, top_eval_id, n_hits, contaminated)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    eid = eval_id_col or id_col
+    rows = (
+        eval_emb.select(F.col(eid).alias("i"), F.col(vec_col).alias("v"))
+        .limit(max_eval + 1)
+        .collect()
+    )
+    if len(rows) > max_eval:
+        raise ValueError(
+            f"eval set exceeds max_eval={max_eval}; semantic decontamination "
+            "broadcasts the eval matrix — an unbounded eval side belongs in "
+            "the LSH-bucketed near-dup path, not here"
+        )
+    rows.sort(key=lambda r: r["i"])
+    eval_ids = np.asarray([r["i"] for r in rows], dtype=np.int64)
+    if len(rows):
+        emat = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(emat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        emat_t = (emat / norms).T  # (dim, E)
+    else:
+        emat_t = None
+    thr = float(threshold)
+
+    # annotations set explicitly: `from __future__ import annotations`
+    # stringifies hints, and pandas_udf cannot resolve the stringified
+    # Series -> DataFrame (struct-return) signature
+    def _verdict(vecs):
+        if emat_t is None:
+            n = len(vecs)
+            return pd.DataFrame(
+                {
+                    "max_sim": np.full(n, -2.0),
+                    "top_eval_id": np.full(n, -1, dtype=np.int64),
+                    "n_hits": np.zeros(n, dtype=np.int64),
+                    "contaminated": np.zeros(n, dtype=bool),
+                }
+            )
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (B, dim)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (mat / norms) @ emat_t  # (B, E)
+        mx = sims.max(axis=1)
+        return pd.DataFrame(
+            {
+                "max_sim": mx,
+                # argmax returns the FIRST maximal column; eval columns are
+                # id-sorted, so ties break to the smallest eval id — the
+                # same total order as the SQL twin's (cs DESC, eid ASC)
+                "top_eval_id": eval_ids[sims.argmax(axis=1)],
+                "n_hits": (sims >= thr).sum(axis=1).astype(np.int64),
+                "contaminated": mx >= thr,
+            }
+        )
+
+    _verdict.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
+    _verdict = pandas_udf(
+        "max_sim double, top_eval_id long, n_hits long, contaminated boolean"
+    )(_verdict)
+
+    out = train_emb.select(
+        F.col(id_col).alias("id"), _verdict(F.col(vec_col)).alias("__v")
+    )
+    return out.select(
+        "id",
+        F.round(F.col("__v.max_sim"), 4).alias("max_sim"),
+        F.col("__v.top_eval_id").alias("top_eval_id"),
+        F.col("__v.n_hits").alias("n_hits"),
+        F.col("__v.contaminated").alias("contaminated"),
+    )
+
+
+def semantic_decontaminate(
+    docs: DataFrame,
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+    threshold: float = 0.9,
+    max_eval: int = 100_000,
+) -> DataFrame:
+    """The corpus minus semantically contaminated docs: score the TRAIN
+    embeddings (``vec_id_col`` values matching ``docs[id_col]``) with
+    :func:`semantic_contamination_report` and anti-join the contaminated
+    ids away.  The contaminated-id set is verdict-filtered (tiny relative
+    to the corpus), so the anti-join broadcasts; a doc with NO embedding
+    row is conservatively KEPT (same contract as the lexical
+    :func:`decontaminate`: absence of evidence admits)."""
+    bad = (
+        semantic_contamination_report(
+            train_emb,
+            eval_emb,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            eval_id_col=eval_id_col,
+            threshold=threshold,
+            max_eval=max_eval,
+        )
+        .filter("contaminated")
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

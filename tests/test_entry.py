@@ -40,7 +40,8 @@ PARKED_ORACLED = {
     "dedup_keep_best", "domain_mixture", "dedup_cluster_sizes",
     "stream_dedup_admitted", "ann_lsh_recall", "doc_chunks", "dup_span_stats",
     "span_removed_docs", "trigram_quality", "stream_neardup_verdicts",
-    "corpus_profile", "stream_embdedup_audit", "gopher_quality", "semdedup", "dsir_weights", "crosscorpus_dedup",
+    "corpus_profile", "stream_embdedup_audit", "gopher_quality", "semdedup",
+    "dsir_weights", "crosscorpus_dedup", "semantic_decontam",
 }
 
 

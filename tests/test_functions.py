@@ -2039,3 +2039,86 @@ def test_dsir_selected_edge_cases(spark):
     assert two == {10: True, 11: True, 12: False}
     one = {r["id"]: r["selected"] for r in dsir_selected(scores, k=1).collect()}
     assert one == {10: True, 11: False, 12: False}  # tie -> smaller id
+
+
+def test_semantic_contamination_verdicts_and_sentinels(spark):
+    """Verdict fields match a hand-computed cosine table; empty eval set
+    yields (-2.0, -1, 0, false) sentinels; zero-norm train vectors score
+    0 against everything instead of dividing by zero; ties in max cosine
+    resolve to the smallest eval id; the max_eval guard raises."""
+    import pytest as _pytest
+
+    from oplog_analyzer_spark.functions.decontam import (
+        semantic_contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # cos 1.0 with eval 10 AND eval 11 (tie)
+            (1, [0.0, 1.0]),   # cos 1.0 with eval 12, 0 with 10/11
+            (2, [1.0, 1.0]),   # cos ~0.7071 with all three
+            (3, [0.0, 0.0]),   # zero-norm: raw dot 0 everywhere
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    evalset = spark.createDataFrame(
+        [(11, [2.0, 0.0]), (10, [1.0, 0.0]), (12, [0.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in semantic_contamination_report(
+            train, evalset, threshold=0.7
+        ).collect()
+    }
+    assert out[0] == {
+        "id": 0, "max_sim": 1.0, "top_eval_id": 10, "n_hits": 2,
+        "contaminated": True,
+    }
+    assert out[1] == {
+        "id": 1, "max_sim": 1.0, "top_eval_id": 12, "n_hits": 1,
+        "contaminated": True,
+    }
+    assert out[2]["max_sim"] == 0.7071 and out[2]["n_hits"] == 3
+    assert out[2]["contaminated"] is True
+    assert out[3] == {
+        "id": 3, "max_sim": 0.0, "top_eval_id": 10, "n_hits": 0,
+        "contaminated": False,
+    }
+
+    empty = {
+        r["id"]: r.asDict()
+        for r in semantic_contamination_report(
+            train, evalset.filter("vec_id < 0"), threshold=0.7
+        ).collect()
+    }
+    assert all(
+        (r["max_sim"], r["top_eval_id"], r["n_hits"], r["contaminated"])
+        == (-2.0, -1, 0, False)
+        for r in empty.values()
+    ) and len(empty) == 4
+
+    with _pytest.raises(ValueError, match="max_eval"):
+        semantic_contamination_report(train, evalset, max_eval=2)
+
+
+def test_semantic_decontaminate_keeps_unembedded_docs(spark):
+    """Docs whose id has no embedding row are conservatively kept; docs
+    with a contaminated vector are dropped; everything else survives with
+    all original columns."""
+    from oplog_analyzer_spark.functions.decontam import semantic_decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (9, "no-embedding")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    evalset = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    kept = semantic_decontaminate(docs, emb, evalset, threshold=0.9)
+    assert kept.columns == ["doc_id", "text"]
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 9]

@@ -442,6 +442,11 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--dsir-buckets", "32"],
         ["--dsir-select", "5"],                               # missing target
         ["--dsir-select", "5", "--dsir-target", "lang"],      # malformed
+        ["--sem-decontam-threshold", "0.5"],                  # no --sem-decontam
+        ["--sem-decontam-emb", "x.parquet"],
+        ["--sem-decontam-vec-id", "vec_id"],
+        ["--sem-decontam-vec-col", "embedding"],
+        ["--sem-decontam", "x.parquet"],                      # missing --sem-decontam-emb
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -694,3 +699,38 @@ def test_run_dataset_semdedup_and_dsir_stages(spark, tmp_path, monkeypatch, caps
     summary = json.loads(printed.strip().splitlines()[-1])
     assert summary["rows_after_dsir"] == 7
     assert spark.read.parquet(out2).count() == 7
+
+
+def test_run_dataset_sem_decontam_stage(spark, tmp_path, monkeypatch, capsys):
+    """--sem-decontam drops exactly the docs whose train vector cosines
+    >= threshold against an eval vector; docs without a vector survive."""
+    import json
+
+    src = _dataset_corpus(spark, tmp_path)
+    # train vectors: ids 0-9 point along x (contaminated vs eval [1,0]),
+    # ids 10-19 along y (clean); ids 20-39 have NO vector (kept)
+    train_rows = [(i, [1.0, 0.0]) for i in range(10)] + [
+        (i, [0.0, 1.0]) for i in range(10, 20)
+    ]
+    emb = spark.createDataFrame(train_rows, "vec_id long, embedding array<double>")
+    emb_path = str(tmp_path / "train_emb")
+    emb.write.mode("overwrite").parquet(emb_path)
+    ev = spark.createDataFrame(
+        [(0, [2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    ev_path = str(tmp_path / "eval_emb")
+    ev.write.mode("overwrite").parquet(ev_path)
+
+    from jobs.run_dataset import main
+
+    out = str(tmp_path / "out_semdecon")
+    printed = _run(main, [
+        "--input", src, "--output", out,
+        "--sem-decontam", ev_path, "--sem-decontam-emb", emb_path,
+        "--sem-decontam-threshold", "0.9",
+    ], monkeypatch, capsys)
+    summary = json.loads(printed.strip().splitlines()[-1])
+    assert summary["rows_in"] == 40
+    assert summary["rows_after_sem_decontam"] == 30
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == list(range(10, 40))
