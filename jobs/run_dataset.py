@@ -29,6 +29,7 @@ the way run_scan/run_tail expose the reference's surface).
     [--split train=0.98,val=0.01,test=0.01] \
     [--sample-strata lang --sample-fractions en=0.5,de=1.0] \
     [--mix-domain source --mix-weights web=5,books=3,code=1] \
+    [--temp-mix 0.5 --temp-mix-domain lang] [--temp-mix-budget N] \
     [--chunk 512] [--chunk-stride 384] [--min-chunk-tokens 64] \
     [--pack 2048] [--pack-buckets N] [--shuffle-seed 7] \
     [--seed 42] [--hash xxhash64|md5]
@@ -205,6 +206,18 @@ def main() -> None:
     ap.add_argument("--dsir-buckets", type=int,
                     help="hashed-ngram bucket count for --dsir-select "
                     "(default 64)")
+    ap.add_argument("--temp-mix", type=float,
+                    help="temperature-based alpha-sampling (T5/mT5 rule): "
+                    "materialize a mixed epoch where domain shares go as "
+                    "n_d^alpha — low-resource domains replicate (copies "
+                    "get composite ids, the --chunk precedent), high-"
+                    "resource domains thin through the same hash rule; "
+                    "runs after --split so copies never straddle splits")
+    ap.add_argument("--temp-mix-domain",
+                    help="domain column for --temp-mix (required with it)")
+    ap.add_argument("--temp-mix-budget", type=int,
+                    help="output size target in docs for --temp-mix "
+                    "(default: corpus size — epoch-preserving)")
     ap.add_argument("--bpe-merges", type=int,
                     help="learn a BPE merge table of this size on the "
                     "post-gate corpus (one word-count scan + bounded "
@@ -305,6 +318,10 @@ def main() -> None:
              "with --sem-decontam")
     if args.sem_decontam is not None and args.sem_decontam_emb is None:
         ap.error("--sem-decontam requires --sem-decontam-emb")
+    _require("--temp-mix-domain", args.temp_mix is not None, "with --temp-mix")
+    _require("--temp-mix-budget", args.temp_mix is not None, "with --temp-mix")
+    if args.temp_mix is not None and args.temp_mix_domain is None:
+        ap.error("--temp-mix requires --temp-mix-domain")
     _require("--mix-domain", args.mix_weights is not None, "with --mix-weights")
     _require("--cluster-report",
              args.dedup_policy in ("component_min", "keep_best"),
@@ -581,6 +598,27 @@ def main() -> None:
         )
         df = observe("rows_after_mix", df)
 
+    temp_persisted = None
+    if args.temp_mix is not None:
+        # the factor pass is an ACTION mid-pipeline (per-domain counts);
+        # persist the pre-mix frame so it fills a cache the final write
+        # reads back (the ADVICE-r05 pack_sequences lesson, same class)
+        temp_persisted = df = df.persist()
+        df = SP.temperature_upsample(
+            df, args.temp_mix_domain, alpha=args.temp_mix,
+            id_col=args.id_col, budget=args.temp_mix_budget,
+            seed=args.seed + 4, hash_fn=args.hash,
+        )
+        # replicas get a composite id (the --chunk precedent) so
+        # downstream pack/shuffle hashing treats each copy as its own
+        # row; copies of one doc still share the doc prefix, and the
+        # upsample runs AFTER --split so they can never straddle splits
+        df = df.withColumn(
+            args.id_col,
+            F.concat_ws("#", F.col(args.id_col).cast("string"), "copy_idx"),
+        ).drop("copy_idx")
+        df = observe("rows_after_temp_mix", df)
+
     if args.chunk:
         chunked = P.chunk_documents(
             df, id_col=args.id_col, text_col=args.text_col,
@@ -629,6 +667,8 @@ def main() -> None:
         bpe_persisted.unpersist()
     if dsir_persisted is not None:
         dsir_persisted.unpersist()
+    if temp_persisted is not None:
+        temp_persisted.unpersist()
 
     def _obs_rows(obs) -> int:
         # When an upstream gate empties the frame, AQE's empty-relation

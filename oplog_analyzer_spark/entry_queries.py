@@ -3661,6 +3661,58 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source")
 
 
+@_q(
+    "temperature_mixture",
+    """
+WITH counts AS (
+  SELECT lang AS d, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), w AS (
+  SELECT d, n,
+         CAST(floor(1e6 * exp(0.5 * ln(CAST(n AS DOUBLE)))) AS HUGEINT)
+           AS w_micro
+  FROM counts
+), tot AS (
+  SELECT CAST(sum(w_micro) AS HUGEINT) AS w_tot,
+         CAST(sum(n) AS HUGEINT) AS b
+  FROM w
+), r AS (
+  SELECT w.d,
+         CAST((t.b * w.w_micro * 1000000)
+              // (t.w_tot * CAST(w.n AS HUGEINT)) AS BIGINT) AS r_micro
+  FROM w, tot t
+), sized AS (
+  SELECT doc_id, lang,
+         r.r_micro // 1000000
+         + CASE WHEN CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 1000000
+                     < r.r_micro % 1000000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents JOIN r ON r.d = documents.lang
+)
+SELECT doc_id, lang,
+       CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
+FROM sized
+""",
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based α-sampling (§2.11, the T5/mT5 multilingual
+    mixing rule) at α = 0.5 over the skewed lang column: low-resource
+    langs replicate above 1× (every copy materialized with its copy_idx),
+    the high-resource lang thins through the same hash rule — and the
+    oracle re-derives the per-lang micro-factors (the single
+    floor(1e6·exp(α·ln n)) float step, then pure HUGEINT arithmetic with
+    an INTEGER weight total, so no float-sum-order dependence), the
+    per-doc copy counts, and every materialized replica row.  Non-vacuous
+    on this corpus: en (218 docs) lands r<1, fr (64) lands r>1."""
+    from .functions.sampling import temperature_upsample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = temperature_upsample(
+        docs, "lang", alpha=0.5, id_col="doc_id", hash_fn="md5"
+    )
+    return out.select("doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

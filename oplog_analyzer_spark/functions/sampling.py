@@ -314,3 +314,106 @@ def domain_mixture_sample(
     for dom, thresh in sorted(thresholds.items()):
         cond = cond | ((F.col(domain_col) == F.lit(dom)) & (bucket < F.lit(thresh)))
     return df.filter(cond)
+
+
+def temperature_factors(
+    doc_counts: dict, alpha: float, budget: int | None = None
+) -> dict:
+    """Per-domain replication factor in micro-units for temperature-based
+    α-sampling (the multilingual mixing rule published with T5/mT5:
+    sample domain d with probability ∝ n_d^α, α<1 boosting low-resource
+    domains).  Returns ``{domain: r_micro}`` where a doc of domain d is
+    materialized ``r_micro // 1e6`` times plus one more copy with
+    probability ``(r_micro % 1e6) / 1e6``.
+
+    Exactness contract (the domain_mixture_thresholds discipline): the
+    ONLY float step is the per-domain weight ``w_micro_d = floor(1e6 ·
+    exp(α · ln n_d))`` — one ln and one exp on identical inputs in any
+    engine, micro-floored so a verdict flip needs the true value within
+    ~1e-10 of an integer.  Everything downstream is exact big-integer
+    arithmetic: ``r_micro_d = (B · w_micro_d · 1e6) // (W · n_d)`` with
+    ``W = Σ w_micro_d`` (an INTEGER total, so no float-sum-order
+    dependence across engines) and ``B`` the output budget in docs
+    (default: corpus size — epoch-preserving).  Expected output =
+    ``Σ n_d · r_d ≈ B`` with domain shares ∝ n_d^α.
+
+    α = 1 degenerates to r ≈ 1 everywhere; α = 0 equalizes domains;
+    α < 0 raises (a negative exponent inverts the mixture — surely a
+    bug upstream)."""
+    import math
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    bad = {d: n for d, n in doc_counts.items() if not isinstance(n, int) or n <= 0}
+    if bad:
+        raise ValueError(f"doc counts must be positive ints, got {bad}")
+    if not doc_counts:
+        raise ValueError("empty doc_counts")
+    n_total = sum(doc_counts.values())
+    b = n_total if budget is None else budget
+    if not isinstance(b, int) or b <= 0:
+        raise ValueError(f"budget must be a positive int, got {budget}")
+    w_micro = {
+        d: math.floor(1e6 * math.exp(alpha * math.log(n)))
+        for d, n in doc_counts.items()
+    }
+    w_tot = sum(w_micro.values())
+    return {
+        d: (b * w_micro[d] * 1_000_000) // (w_tot * doc_counts[d])
+        for d in doc_counts
+    }
+
+
+def temperature_upsample(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float,
+    id_col: str = "doc_id",
+    budget: int | None = None,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    out_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize a temperature-mixed epoch: every row is replicated
+    ``n_copies`` times per :func:`temperature_factors` (base copies + one
+    deterministic hash-threshold extra), with ``out_col`` numbering the
+    replicas 0..n_copies−1 so downstream packing/shuffling can tell them
+    apart.  Domains with r < 1 (the high-resource side at α < 1) thin
+    stochastically through the same rule — one op realizes both
+    directions of the mixture.
+
+    Two passes like :func:`domain_mixture_sample` (the factors depend on
+    global counts): pass 1 is one map-side-combinable count collected at
+    #domains rows; pass 2 is a narrow codegen map — the per-domain
+    (base, frac) pairs compile into one CASE chain (no join), the copy
+    array is MATERIALIZED in its own projection before the explode (the
+    InferFiltersFromGenerate re-stamping trap, functions/dedup.py note),
+    and the explode's output is ≈ budget rows whatever α does.  Rows
+    with a NULL or unseen domain drop (the unlisted-stratum contract);
+    rows with a NULL id hash to NULL and drop with them."""
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["d"] is not None
+    }
+    factors = temperature_factors(counts, alpha, budget)
+    bucket = _hash_bucket(id_col, seed, hash_fn)
+    n_copies = F.lit(None).cast("long")
+    for dom, r_micro in sorted(factors.items()):
+        base, frac = divmod(r_micro, 1_000_000)
+        n_copies = F.when(
+            F.col(domain_col) == F.lit(dom),
+            F.lit(base) + (bucket < F.lit(frac)).cast("long"),
+        ).otherwise(n_copies)
+    with_arr = (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn("__copies", F.sequence(F.lit(0), F.col("__n_copies") - 1))
+    )
+    return (
+        with_arr.select("*", F.explode_outer("__copies").alias(out_col))
+        .filter(F.col(out_col).isNotNull())
+        .drop("__n_copies", "__copies")
+    )

@@ -2122,3 +2122,76 @@ def test_semantic_decontaminate_keeps_unembedded_docs(spark):
     kept = semantic_decontaminate(docs, emb, evalset, threshold=0.9)
     assert kept.columns == ["doc_id", "text"]
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 9]
+
+
+def test_temperature_factors_math(spark):
+    """α=0 equalizes domain TARGETS (n_d·r_d equal across domains); α=1 is
+    ≈identity (r ≈ 1 for every domain); budgets scale linearly; expected
+    output size tracks the budget within the floor slack; bad inputs
+    raise."""
+    import pytest as _pytest
+
+    from oplog_analyzer_spark.functions.sampling import temperature_factors
+
+    counts = {"en": 1000, "fr": 100, "zh": 10}
+
+    eq = temperature_factors(counts, alpha=0.0)
+    targets = {d: counts[d] * r for d, r in eq.items()}
+    lo, hi = min(targets.values()), max(targets.values())
+    assert (hi - lo) / hi < 1e-5  # equal shares up to micro-floor slack
+
+    ident = temperature_factors(counts, alpha=1.0)
+    assert all(abs(r - 1_000_000) <= 5 for r in ident.values())
+
+    half = temperature_factors(counts, alpha=0.5)
+    assert half["zh"] > half["fr"] > 1_000_000 > half["en"]  # the tilt
+    expected = sum(counts[d] * r / 1e6 for d, r in half.items())
+    assert abs(expected - 1110) < 1.0
+
+    doubled = temperature_factors(counts, alpha=0.5, budget=2220)
+    assert all(abs(doubled[d] - 2 * half[d]) <= 2 for d in counts)
+
+    for bad in (
+        lambda: temperature_factors(counts, alpha=-0.1),
+        lambda: temperature_factors({"en": 0}, alpha=0.5),
+        lambda: temperature_factors({}, alpha=0.5),
+        lambda: temperature_factors(counts, alpha=0.5, budget=0),
+    ):
+        with _pytest.raises(ValueError):
+            bad()
+
+
+def test_temperature_upsample_copies_and_determinism(spark):
+    """Every kept row appears with copy_idx 0..n_copies−1 for a per-doc
+    count that is base-or-base+1 of its domain factor; reruns are
+    byte-identical; NULL domains drop; xxhash64 and md5 modes agree on
+    the copy-count SHAPE (both hash-uniform)."""
+    from collections import Counter
+
+    from oplog_analyzer_spark.functions.sampling import (
+        temperature_factors,
+        temperature_upsample,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    rows.append((1000, None))  # NULL domain must drop
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    factors = temperature_factors({"big": 90, "small": 10}, alpha=0.5)
+
+    out = temperature_upsample(df, "dom", alpha=0.5, id_col="doc_id").collect()
+    assert all(r["doc_id"] != 1000 for r in out)
+    per_doc = Counter(r["doc_id"] for r in out)
+    doms = {r["doc_id"]: r["dom"] for r in out}
+    for doc, n in per_doc.items():
+        base = factors[doms[doc]] // 1_000_000
+        assert n in (base, base + 1)
+        # contiguous copy indexes
+        idxs = sorted(r["copy_idx"] for r in out if r["doc_id"] == doc)
+        assert idxs == list(range(n))
+    # small domain upsampled above 1x on average, big thinned below
+    small_n = sum(n for d, n in per_doc.items() if doms[d] == "small")
+    big_n = sum(n for d, n in per_doc.items() if doms[d] == "big")
+    assert small_n > 10 and big_n < 90
+
+    again = temperature_upsample(df, "dom", alpha=0.5, id_col="doc_id").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

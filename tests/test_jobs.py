@@ -447,6 +447,9 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--sem-decontam-vec-id", "vec_id"],
         ["--sem-decontam-vec-col", "embedding"],
         ["--sem-decontam", "x.parquet"],                      # missing --sem-decontam-emb
+        ["--temp-mix-domain", "lang"],                        # no --temp-mix
+        ["--temp-mix-budget", "100"],
+        ["--temp-mix", "0.5"],                                # missing domain
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -734,3 +737,40 @@ def test_run_dataset_sem_decontam_stage(spark, tmp_path, monkeypatch, capsys):
     assert summary["rows_after_sem_decontam"] == 30
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == list(range(10, 40))
+
+
+def test_run_dataset_temp_mix_stage(spark, tmp_path, monkeypatch, capsys):
+    """--temp-mix materializes a temperature-mixed epoch: replicas carry
+    composite ids, the summary stage count matches the output, and the
+    low-resource domain's share grows."""
+    import json
+
+    # skewed corpus: 32 'en' docs, 8 'fr'
+    rows = [
+        (i, f"doc number {i} some words here", "en" if i < 32 else "fr")
+        for i in range(40)
+    ]
+    src = str(tmp_path / "docs_skew")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    from jobs.run_dataset import main
+
+    out = str(tmp_path / "out_tempmix")
+    printed = _run(main, [
+        "--input", src, "--output", out,
+        "--temp-mix", "0.5", "--temp-mix-domain", "lang",
+        "--temp-mix-budget", "80",
+    ], monkeypatch, capsys)
+    summary = json.loads(printed.strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    n_out = got.count()
+    assert summary["rows_after_temp_mix"] == n_out
+    assert 60 <= n_out <= 100  # budget 80 within floor/hash slack
+    ids = [r["doc_id"] for r in got.collect()]
+    assert len(set(ids)) == len(ids)  # composite ids are unique
+    assert all("#" in i for i in ids)
+    fr = got.filter("lang = 'fr'").count()
+    # fr is 20% of input; alpha=0.5 pushes its share up
+    assert fr / n_out > 0.25
