@@ -1,6 +1,6 @@
 """spark-submit entry point: the training-data pipeline over a documents
-table — decontaminate (n-gram + embedding-space semantic) → dedup
-(lexical + SemDeDup semantic) →
+table — unicode cleanup → decontaminate (n-gram + embedding-space
+semantic) → dedup (lexical + SemDeDup semantic) →
 quality/repetition/Gopher gates → PII redaction → DSIR importance
 selection → split → stratified sample → pack → epoch shuffle, every stage
 optional and composable (the §2.11 operator family as a runnable command,
@@ -8,6 +8,7 @@ the way run_scan/run_tail expose the reference's surface).
 
   spark-submit --py-files dist/oplog_analyzer_spark.zip jobs/run_dataset.py \
     --input docs.parquet --output <dir> \
+    [--clean-text] [--clean-form NFC|NFKC] \
     [--decontam eval.parquet] [--decontam-ngram 3] [--decontam-min-hits 1] \
     [--sem-decontam eval_emb.parquet] [--sem-decontam-emb train_emb.parquet] \
     [--sem-decontam-threshold 0.9] [--sem-decontam-vec-id vec_id] \
@@ -84,6 +85,15 @@ def main() -> None:
         "cluster-size histogram (cluster_size, n_clusters, n_docs) to this "
         "parquet path — the 'how duplicated is this corpus' report",
     )
+    ap.add_argument("--clean-text", action="store_true",
+                    help="unicode hygiene FIRST (before any hashing, so "
+                    "byte-different encodings of the same rendered string "
+                    "collapse before dedup): normalize + strip controls/"
+                    "zero-width + squeeze whitespace "
+                    "(functions/textstats.py::clean_text)")
+    ap.add_argument("--clean-form", choices=["NFC", "NFKC"],
+                    help="normalization form for --clean-text (default "
+                    "NFC; NFKC also folds compatibility forms)")
     ap.add_argument("--decontam",
                     help="parquet path of a benchmark/eval corpus (same "
                     "text column); training docs sharing word n-grams with "
@@ -306,6 +316,7 @@ def main() -> None:
     if args.dsir_select is not None:
         if args.dsir_target is None or "=" not in args.dsir_target:
             ap.error("--dsir-select requires --dsir-target COL=VALUE")
+    _require("--clean-form", args.clean_text, "with --clean-text")
     _require("--decontam-ngram", args.decontam is not None, "with --decontam")
     _require("--decontam-min-hits", args.decontam is not None, "with --decontam")
     _require("--sem-decontam-emb", args.sem_decontam is not None,
@@ -347,6 +358,14 @@ def main() -> None:
         return frame.observe(obs, F.count(F.lit(1)).alias("rows"))
 
     df = observe("rows_in", df)
+
+    if args.clean_text:
+        base_cols = df.columns
+        df = TS.clean_text(
+            df, text_col=args.text_col, out_col="__cleaned",
+            form=args.clean_form or "NFC",
+        )
+        df = df.withColumn(args.text_col, F.col("__cleaned")).select(base_cols)
 
     if args.decontam:
         from oplog_analyzer_spark.functions import decontam as DC

@@ -3662,6 +3662,82 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_cleaning",
+    r"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' caf' || chr(101) || chr(769) || ' x' || chr(1)
+                || chr(7) || chr(11) || 'y  ' || chr(8203) || chr(8205)
+                || chr(65279) || 'z ' || chr(65533) || ' ' || chr(64257) || 'n'
+         ELSE text END AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, t, nfc_normalize(t) AS nt FROM seeded
+), cleaned AS (
+  SELECT doc_id, t,
+         CAST(len(regexp_extract_all(nt,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT) AS n_controls,
+         CAST(len(regexp_extract_all(nt,
+              '[\x{200B}-\x{200D}\x{FEFF}]')) AS BIGINT) AS n_zerowidth,
+         CAST(len(regexp_extract_all(nt, '\x{FFFD}')) AS BIGINT)
+           AS n_replacement,
+         trim(regexp_replace(regexp_replace(regexp_replace(nt,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+              '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+              '\s+', ' ', 'g')) AS clean
+  FROM n
+)
+SELECT doc_id, n_controls, n_zerowidth, n_replacement,
+       (clean <> t) AS changed, md5(clean) AS clean_md5
+FROM cleaned
+""",
+)
+def text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text hygiene (§2.11 ingest cleanup): NFC normalization +
+    control/zero-width strip + whitespace squeeze with mojibake counts.
+    The synthetic corpus is pure ASCII, so BOTH sides first append a
+    deterministic unicode gauntlet to every 3rd doc — a decomposed
+    e+COMBINING-ACUTE (pins the normalizer: the cleaned md5 only matches
+    if Python unicodedata and DuckDB nfc_normalize agree byte-for-byte),
+    SOH/BEL/VT controls, ZWSP/ZWJ/BOM, U+FFFD, and the ﬁ ligature (which
+    NFC must PRESERVE — certifying this is NFC, not NFKC).  Counts,
+    strip order, squeeze, and the changed verdict all certified; the
+    patterns live in the Java∩RE2 dialect (textstats.CLEAN_*_RE) shared
+    verbatim with this SQL."""
+    from .functions.textstats import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " caf"
+                    "e\u0301"      # decomposed e + COMBINING ACUTE
+                    " x\x01\x07\x0by  "
+                    "\u200b\u200d\ufeff"
+                    "z \ufffd \ufb01n"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    out = clean_text(seeded, text_col="t", out_col="clean")
+    return out.select(
+        "doc_id",
+        "n_controls",
+        "n_zerowidth",
+        "n_replacement",
+        "changed",
+        F.md5("clean").alias("clean_md5"),
+    )
+
+
+@_q(
     "temperature_mixture",
     """
 WITH counts AS (

@@ -559,3 +559,76 @@ def trigram_coverage(
         .cast("long")
         .alias("trigram_cov_x10000"),
     )
+
+
+#: Java∩RE2 character classes shared verbatim by clean_text and its SQL
+#: twin (the redact_pii dialect discipline).  CONTROL excludes \t \n \r
+#: (legitimate layout); VT/FF are stripped HERE because Java's \s matches
+#: \x0B but RE2's does not — after this strip, the \s+ squeeze below
+#: behaves identically in both dialects.
+CLEAN_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+CLEAN_ZEROWIDTH_RE = r"[\x{200B}-\x{200D}\x{FEFF}]"
+CLEAN_REPLACEMENT_RE = r"\x{FFFD}"
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode text hygiene — the ingest-side cleanup every web corpus
+    needs before hashing/dedup (byte-different encodings of the SAME
+    rendered string must collapse to one canonical form, or exact dedup
+    silently misses):
+
+      1. canonical normalization (NFC default; NFKC opt-in — it also
+         folds compatibility forms like the ﬁ ligature, so only NFC is
+         SQL-oracle-certifiable via DuckDB's nfc_normalize);
+      2. count diagnostics on the NORMALIZED string: control characters,
+         zero-width characters (ZWSP/ZWNJ/ZWJ/BOM), and U+FFFD
+         replacement characters (the mojibake signal);
+      3. strip controls + zero-width, squeeze ``\\s+`` to one space,
+         trim.
+
+    Adds ``out_col, n_controls, n_zerowidth, n_replacement, changed``
+    (``changed`` = cleaned ≠ original).  Counts and strips are pure JVM
+    regexp codegen; normalization is the one unavoidable Python step
+    (the JVM has no normalizer builtin) — an Arrow-batched pandas UDF
+    whose per-element ``str.isascii()`` short-circuit skips the
+    normalizer entirely for ASCII rows, the overwhelming majority of a
+    web corpus.  One scan, no shuffle, no join."""
+    import pandas as pd
+    import unicodedata
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(batch):
+        return batch.map(
+            lambda s: s
+            if s is None or s.isascii()
+            else unicodedata.normalize(form, s)
+        )
+
+    _norm.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    norm_udf = pandas_udf("string")(_norm)
+
+    normed = df.withColumn("__norm", norm_udf(F.col(text_col)))
+    counted = normed.select(
+        "*",
+        F.regexp_count("__norm", F.lit(CLEAN_CONTROL_RE)).cast("long").alias("n_controls"),
+        F.regexp_count("__norm", F.lit(CLEAN_ZEROWIDTH_RE)).cast("long").alias("n_zerowidth"),
+        F.regexp_count("__norm", F.lit(CLEAN_REPLACEMENT_RE)).cast("long").alias("n_replacement"),
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace("__norm", CLEAN_CONTROL_RE, ""),
+        CLEAN_ZEROWIDTH_RE,
+        "",
+    )
+    return counted.withColumn(
+        out_col, F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    ).withColumn(
+        "changed", F.col(out_col) != F.col(text_col)
+    ).drop("__norm")

@@ -2195,3 +2195,44 @@ def test_temperature_upsample_copies_and_determinism(spark):
 
     again = temperature_upsample(df, "dom", alpha=0.5, id_col="doc_id").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_clean_text_normalization_and_strips(spark):
+    """NFC collapses decomposed sequences (so exact dedup sees one form),
+    controls/zero-width strip with correct counts, whitespace squeezes,
+    ASCII rows short-circuit unchanged, NFKC additionally folds the fi
+    ligature, and bad forms raise."""
+    import pytest as _pytest
+
+    from oplog_analyzer_spark.functions.textstats import clean_text
+
+    rows = [
+        (0, "café and café"),          # decomposed + precomposed
+        (1, "a\x01\x07b\x0b c  d"),               # controls + squeeze
+        (2, "z​‍﻿z �"),       # zero-width + mojibake
+        (3, "plain ascii text"),                   # short-circuit path
+        (4, "ﬁn du ﬁn"),                # ligature: NFC keeps
+        (5, None),                                 # NULL rides through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in clean_text(df).collect()}
+
+    assert out[0]["text_clean"] == "café and café"
+    assert out[0]["changed"] is True
+    assert out[1]["text_clean"] == "ab c d"
+    assert (out[1]["n_controls"], out[1]["changed"]) == (3, True)
+    assert out[2]["text_clean"] == "zz �"
+    assert (out[2]["n_zerowidth"], out[2]["n_replacement"]) == (3, 1)
+    assert out[3]["text_clean"] == "plain ascii text"
+    assert out[3]["changed"] is False
+    assert out[4]["text_clean"] == "ﬁn du ﬁn"  # NFC preserves
+    assert out[5]["text_clean"] is None and out[5]["changed"] is None
+
+    nfkc = {
+        r["doc_id"]: r["text_clean"]
+        for r in clean_text(df, form="NFKC").collect()
+    }
+    assert nfkc[4] == "fin du fin"  # compatibility fold
+
+    with _pytest.raises(ValueError, match="normalization form"):
+        clean_text(df, form="NFX")

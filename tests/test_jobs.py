@@ -450,6 +450,7 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--temp-mix-domain", "lang"],                        # no --temp-mix
         ["--temp-mix-budget", "100"],
         ["--temp-mix", "0.5"],                                # missing domain
+        ["--clean-form", "NFKC"],                             # no --clean-text
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -774,3 +775,35 @@ def test_run_dataset_temp_mix_stage(spark, tmp_path, monkeypatch, capsys):
     fr = got.filter("lang = 'fr'").count()
     # fr is 20% of input; alpha=0.5 pushes its share up
     assert fr / n_out > 0.25
+
+
+def test_run_dataset_clean_text_stage(spark, tmp_path, monkeypatch, capsys):
+    """--clean-text makes byte-different encodings of the same rendered
+    string collapse under downstream exact dedup: a decomposed clone of
+    doc 0 survives dedup WITHOUT cleaning but is removed WITH it."""
+    import json
+
+    rows = [
+        (0, "café menu du jour", "en"),        # precomposed
+        (1, "café menu du jour", "en"),       # decomposed clone
+        (2, "totally different text", "en"),
+    ]
+    src = str(tmp_path / "docs_unicode")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    from jobs.run_dataset import main
+
+    out1 = str(tmp_path / "out_nodedupclean")
+    printed = _run(main, ["--input", src, "--output", out1,
+                          "--dedup", "exact"], monkeypatch, capsys)
+    assert json.loads(printed.strip().splitlines()[-1])["rows_after_dedup"] == 3
+
+    out2 = str(tmp_path / "out_cleaned")
+    printed = _run(main, ["--input", src, "--output", out2,
+                          "--clean-text", "--dedup", "exact"],
+                   monkeypatch, capsys)
+    assert json.loads(printed.strip().splitlines()[-1])["rows_after_dedup"] == 2
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert kept == [0, 2]
