@@ -233,3 +233,65 @@ def test_neardup_stream_batch_join_shape(spark, tmp_path):
     s._sink_batch(batch, 0)
     plan = plan_of(s.verdicts())
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_dsir_plan_caches_counts_and_broadcasts_ratios(spark):
+    """dsir_weights: the (id, bucket, c) counts frame must be scanned from
+    cache by all three consumers (ratio agg, score join, threshold probe)
+    — not rebuilt per consumer — the ratio table must broadcast into the
+    score join, and the only Cross join is the 1-row totals attach."""
+    from oplog_analyzer_spark.functions.dsir import dsir_weights
+    from oplog_analyzer_spark.sources.tables import load_table as lt
+
+    docs = lt(spark, SF_SMALL, "documents")
+    out = dsir_weights(docs, docs.filter("lang = 'en'"), k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "BroadcastHashJoin [bucket" in plan
+    # the only nested-loop is broadcasting the single-row totals
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_crosscorpus_dedup_has_no_cartesian(spark):
+    """dedup_against: candidates come from the (band, bucket) equi-join —
+    never a cross product of the corpora."""
+    from oplog_analyzer_spark.functions.dedup import dedup_against
+    from oplog_analyzer_spark.sources.tables import load_table as lt
+
+    docs = lt(spark, SF_SMALL, "documents")
+    new = docs.selectExpr("doc_id + 900000 AS doc_id", "text")
+    plan = plan_of(dedup_against(new, docs, max_bucket=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_decontam_plan_is_join_free(spark):
+    """semantic_contamination_report: the train corpus must not join or
+    shuffle — one ArrowEvalPython projection over the scan."""
+    from oplog_analyzer_spark.functions.decontam import (
+        semantic_contamination_report,
+    )
+    from oplog_analyzer_spark.sources.tables import load_table as lt
+
+    emb = lt(spark, SF_SMALL, "embeddings")
+    plan = plan_of(
+        semantic_contamination_report(
+            emb.filter("label <> 9"), emb.filter("label = 9"), threshold=0.3
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "Exchange" not in tree
+    assert "ArrowEvalPython" in tree
+
+
+def test_temperature_upsample_plan_is_one_explode_no_join(spark):
+    """temperature_upsample pass 2: a CASE-chain projection + one
+    explode — no join against a factor table, no extra shuffle."""
+    from oplog_analyzer_spark.functions.sampling import temperature_upsample
+    from oplog_analyzer_spark.sources.tables import load_table as lt
+
+    docs = lt(spark, SF_SMALL, "documents").select("doc_id", "lang")
+    plan = plan_of(temperature_upsample(docs, "lang", alpha=0.5))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "Exchange" not in tree
+    assert tree.count("Generate") == 1
