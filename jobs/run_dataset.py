@@ -32,7 +32,7 @@ the way run_scan/run_tail expose the reference's surface).
     [--mix-domain source --mix-weights web=5,books=3,code=1] \
     [--temp-mix 0.5 --temp-mix-domain lang] [--temp-mix-budget N] \
     [--chunk 512] [--chunk-stride 384] [--min-chunk-tokens 64] \
-    [--pack 2048] [--pack-buckets N] [--shuffle-seed 7] \
+    [--pack 2048] [--pack-buckets N] [--pack-report] [--shuffle-seed 7] \
     [--seed 42] [--hash xxhash64|md5]
 
 Strategy-specific flags are VALIDATED against the chosen strategy: passing
@@ -268,6 +268,12 @@ def main() -> None:
                     help="pin the packing bucket count (stable assignments "
                     "for resumable pipelines; default derives it from one "
                     "row count over the persisted pre-pack frame)")
+    ap.add_argument("--pack-report", action="store_true",
+                    help="with --pack: fold the one-row packing "
+                    "utilization report (n_seqs, padding_tokens, "
+                    "utilization_x10000, oversize inventory) into the "
+                    "summary line — one extra aggregate over the already-"
+                    "persisted pre-pack frame")
     ap.add_argument("--shuffle-seed", type=int,
                     help="deterministic epoch-shuffle sort before the write")
     ap.add_argument("--seed", type=int, default=42)
@@ -317,6 +323,8 @@ def main() -> None:
         if args.dsir_target is None or "=" not in args.dsir_target:
             ap.error("--dsir-select requires --dsir-target COL=VALUE")
     _require("--clean-form", args.clean_text, "with --clean-text")
+    if args.pack_report and args.pack is None:
+        ap.error("--pack-report requires --pack")
     _require("--decontam-ngram", args.decontam is not None, "with --decontam")
     _require("--decontam-min-hits", args.decontam is not None, "with --decontam")
     _require("--sem-decontam-emb", args.sem_decontam is not None,
@@ -701,6 +709,12 @@ def main() -> None:
         return obs.get["rows"]
 
     summary = {stage: _obs_rows(obs) for stage, obs in observations.items()}
+    if args.pack_report:
+        # read the WRITTEN output back — zero upstream recompute
+        rep = P.packing_report(
+            spark.read.parquet(args.output), max_tokens=args.pack
+        ).collect()[0]
+        summary.update({f"pack_{k}": v for k, v in rep.asDict().items()})
     summary["output"] = args.output
     print(json.dumps(summary))
 

@@ -1984,6 +1984,79 @@ def packing_md5_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "n_tokens", "bucket", "seq_idx", "oversize")
 
 
+@_q(
+    "packing_utilization",
+    r"""
+WITH RECURSIVE t0 AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         CAST(('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+), t AS (
+  SELECT doc_id, n_tokens, h, CAST(h % 8 AS INT) AS bucket,
+         row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn
+  FROM t0
+), g AS (
+  SELECT bucket, rn, doc_id, n_tokens, 0 AS seq_idx, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN g.fill + t.n_tokens > 90 THEN g.seq_idx + 1
+              ELSE g.seq_idx END,
+         CASE WHEN g.fill + t.n_tokens > 90 THEN t.n_tokens
+              ELSE g.fill + t.n_tokens END
+  FROM g JOIN t ON t.bucket = g.bucket AND t.rn = g.rn + 1
+), per_seq AS (
+  SELECT bucket, seq_idx, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS fill,
+         max(CASE WHEN n_tokens > 90 THEN 1 ELSE 0 END) AS has_over
+  FROM g GROUP BY 1, 2
+), rep AS (
+  SELECT CAST(sum(CASE WHEN has_over = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seqs,
+         CAST(sum(CASE WHEN has_over = 0 THEN n_docs ELSE 0 END) AS BIGINT)
+           AS n_docs_packed,
+         CAST(sum(CASE WHEN has_over = 0 THEN fill ELSE 0 END) AS BIGINT)
+           AS total_tokens_packed,
+         CAST(coalesce(min(CASE WHEN has_over = 0 THEN fill END), 0)
+              AS BIGINT) AS min_fill,
+         CAST(coalesce(max(CASE WHEN has_over = 0 THEN fill END), 0)
+              AS BIGINT) AS max_fill,
+         CAST(coalesce(max(CASE WHEN has_over = 0 THEN n_docs END), 0)
+              AS BIGINT) AS max_seq_docs,
+         CAST(sum(CASE WHEN has_over = 1 THEN n_docs ELSE 0 END) AS BIGINT)
+           AS n_oversize,
+         CAST(sum(CASE WHEN has_over = 1 THEN fill ELSE 0 END) AS BIGINT)
+           AS oversize_tokens
+  FROM per_seq
+)
+SELECT n_seqs, n_docs_packed, total_tokens_packed,
+       n_seqs * 90 - total_tokens_packed AS padding_tokens,
+       CASE WHEN n_seqs > 0
+            THEN (10000 * total_tokens_packed) // (n_seqs * 90)
+            ELSE 0 END AS utilization_x10000,
+       min_fill, max_fill, max_seq_docs, n_oversize, oversize_tokens
+FROM rep
+""",
+)
+def packing_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing utilization report over the SAME md5-mode greedy packing
+    as `packing_md5_greedy`: sequence count, packed-token total, padding
+    waste, the fixed-point utilization ratio (exact int64 `div`, no float
+    path), fill tails, and the oversize inventory — the oracle re-runs
+    the greedy recursive CTE and folds the identical aggregates, so the
+    report certifies both the packing and the accounting."""
+    from .functions.packing import pack_sequences, packing_report
+    from .functions.textstats import token_count
+
+    docs = token_count(load_table(spark, sf_dir, "documents"))
+    packed = pack_sequences(
+        docs.select("doc_id", "n_tokens"),
+        max_tokens=90, n_buckets=8, seed=5, hash_fn="md5",
+    )
+    return packing_report(packed, max_tokens=90)
+
+
 # --- rows-only entries (xxhash64-based candidate generation has no DuckDB
 #     counterpart; verified instead by tests/test_functions.py oracles).
 #     Registered LAST: the driver harness runs only the first 50 queries,

@@ -219,3 +219,58 @@ def chunk_documents(
             | (F.col("chunk_tokens") >= min_chunk_tokens)
         )
     return chunked
+
+
+def packing_report(
+    packed: DataFrame, max_tokens: int, tokens_col: str = "n_tokens"
+) -> DataFrame:
+    """One-row utilization report over :func:`pack_sequences` output —
+    the "did the packer actually fill the context windows" number a
+    training pipeline watches (padding waste is paid in accelerator
+    hours at every step downstream of here):
+
+      * ``n_seqs / n_docs_packed / total_tokens_packed`` — clean
+        sequences only (an oversize doc always sits alone in its own
+        sequence under the greedy rule, so oversize never pollutes a
+        clean sequence's fill);
+      * ``padding_tokens`` = ``n_seqs·max_tokens − total_tokens_packed``
+        and ``utilization_x10000`` = its fixed-point complement
+        (integer-exact: ``(10000·total) // (n_seqs·max_tokens)``);
+      * ``min_fill / max_fill / max_seq_docs`` — the tails;
+      * ``n_oversize / oversize_tokens`` — the docs longer than the
+        window (they need chunking, not packing).
+
+    Two aggregates: one map-side-combinable (bucket, seq_idx) pass sized
+    by the sequence count, then a single-row fold — nothing here rereads
+    or reshuffles the corpus."""
+    per_seq = packed.groupBy("bucket", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("has_over"),
+    )
+    clean = F.col("has_over") == 0
+    rep = per_seq.agg(
+        F.sum(clean.cast("long")).alias("n_seqs"),
+        F.sum(F.when(clean, F.col("n_docs")).otherwise(0)).alias("n_docs_packed"),
+        F.sum(F.when(clean, F.col("fill")).otherwise(0)).alias("total_tokens_packed"),
+        F.coalesce(F.min(F.when(clean, F.col("fill"))), F.lit(0)).alias("min_fill"),
+        F.coalesce(F.max(F.when(clean, F.col("fill"))), F.lit(0)).alias("max_fill"),
+        F.coalesce(F.max(F.when(clean, F.col("n_docs"))), F.lit(0)).alias("max_seq_docs"),
+        F.sum(F.when(~clean, F.col("n_docs")).otherwise(0)).alias("n_oversize"),
+        F.sum(F.when(~clean, F.col("fill")).otherwise(0)).alias("oversize_tokens"),
+    )
+    # `div` (not `/`) so the fixed-point ratio stays in exact int64 —
+    # a float path would lose ulps past 2^53 total tokens
+    return rep.selectExpr(
+        "n_seqs",
+        "n_docs_packed",
+        "total_tokens_packed",
+        f"n_seqs * {int(max_tokens)} - total_tokens_packed AS padding_tokens",
+        "CASE WHEN n_seqs > 0 THEN (10000 * total_tokens_packed) div "
+        f"(n_seqs * {int(max_tokens)}) ELSE 0 END AS utilization_x10000",
+        "min_fill",
+        "max_fill",
+        "max_seq_docs",
+        "n_oversize",
+        "oversize_tokens",
+    )

@@ -42,7 +42,7 @@ PARKED_ORACLED = {
     "span_removed_docs", "trigram_quality", "stream_neardup_verdicts",
     "corpus_profile", "stream_embdedup_audit", "gopher_quality", "semdedup",
     "dsir_weights", "crosscorpus_dedup", "semantic_decontam",
-    "temperature_mixture", "text_cleaning",
+    "temperature_mixture", "text_cleaning", "packing_utilization",
 }
 
 

@@ -2236,3 +2236,38 @@ def test_clean_text_normalization_and_strips(spark):
 
     with _pytest.raises(ValueError, match="normalization form"):
         clean_text(df, form="NFX")
+
+
+def test_packing_report_accounting(spark):
+    """The report's identity holds (padding = n_seqs*max − total), an
+    oversize doc never pollutes a clean sequence's fill stats, and the
+    degenerate everything-oversize corpus reports zeros instead of
+    dividing by zero."""
+    from oplog_analyzer_spark.functions.packing import (
+        pack_sequences,
+        packing_report,
+    )
+
+    rows = [(i, 30 + (i % 3) * 10) for i in range(20)]  # 30/40/50 tokens
+    rows.append((100, 500))  # oversize vs max_tokens=90
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, max_tokens=90, n_buckets=2, seed=5)
+    rep = packing_report(packed, max_tokens=90).collect()[0].asDict()
+    assert rep["n_docs_packed"] == 20 and rep["n_oversize"] == 1
+    assert rep["oversize_tokens"] == 500
+    assert rep["total_tokens_packed"] == sum(n for _, n in rows[:20])
+    assert rep["padding_tokens"] == rep["n_seqs"] * 90 - rep["total_tokens_packed"]
+    assert rep["utilization_x10000"] == (
+        10000 * rep["total_tokens_packed"] // (rep["n_seqs"] * 90)
+    )
+    assert 0 < rep["min_fill"] <= rep["max_fill"] <= 90
+
+    all_over = spark.createDataFrame(
+        [(0, 1000), (1, 2000)], "doc_id long, n_tokens long"
+    )
+    rep0 = packing_report(
+        pack_sequences(all_over, max_tokens=90, n_buckets=2, seed=5),
+        max_tokens=90,
+    ).collect()[0].asDict()
+    assert rep0["n_seqs"] == 0 and rep0["utilization_x10000"] == 0
+    assert rep0["n_oversize"] == 2 and rep0["padding_tokens"] == 0

@@ -451,6 +451,7 @@ def test_run_dataset_rejects_mismatched_strategy_flags(spark, tmp_path, monkeypa
         ["--temp-mix-budget", "100"],
         ["--temp-mix", "0.5"],                                # missing domain
         ["--clean-form", "NFKC"],                             # no --clean-text
+        ["--pack-report"],                                    # no --pack
     ]
     for extra in bad_argvs:
         monkeypatch.setattr(sys, "argv",
@@ -807,3 +808,25 @@ def test_run_dataset_clean_text_stage(spark, tmp_path, monkeypatch, capsys):
     assert json.loads(printed.strip().splitlines()[-1])["rows_after_dedup"] == 2
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
     assert kept == [0, 2]
+
+
+def test_run_dataset_pack_report(spark, tmp_path, monkeypatch, capsys):
+    """--pack-report folds the utilization report into the summary line,
+    reading the written output back (no upstream recompute), and the
+    numbers satisfy the accounting identity."""
+    import json
+
+    src = _dataset_corpus(spark, tmp_path)
+    from jobs.run_dataset import main
+
+    out = str(tmp_path / "out_packrep")
+    printed = _run(main, [
+        "--input", src, "--output", out,
+        "--pack", "64", "--pack-buckets", "4", "--pack-report",
+    ], monkeypatch, capsys)
+    s = json.loads(printed.strip().splitlines()[-1])
+    assert s["pack_n_docs_packed"] + s["pack_n_oversize"] == s["rows_in"]
+    assert s["pack_padding_tokens"] == (
+        s["pack_n_seqs"] * 64 - s["pack_total_tokens_packed"]
+    )
+    assert 0 < s["pack_utilization_x10000"] <= 10000
