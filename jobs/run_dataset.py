@@ -33,6 +33,7 @@ the way run_scan/run_tail expose the reference's surface).
     [--temp-mix 0.5 --temp-mix-domain lang] [--temp-mix-budget N] \
     [--chunk 512] [--chunk-stride 384] [--min-chunk-tokens 64] \
     [--pack 2048] [--pack-buckets N] [--pack-report] [--shuffle-seed 7] \
+    [--output-shards N] \
     [--seed 42] [--hash xxhash64|md5]
 
 Strategy-specific flags are VALIDATED against the chosen strategy: passing
@@ -274,6 +275,11 @@ def main() -> None:
                     "utilization_x10000, oversize inventory) into the "
                     "summary line — one extra aggregate over the already-"
                     "persisted pre-pack frame")
+    ap.add_argument("--output-shards", type=int,
+                    help="write exactly this many output files per split "
+                    "(deterministic hash repartition on the id column — "
+                    "the 100 TB tiny-files/giant-files lever; default: "
+                    "whatever partitioning the last stage left)")
     ap.add_argument("--shuffle-seed", type=int,
                     help="deterministic epoch-shuffle sort before the write")
     ap.add_argument("--seed", type=int, default=42)
@@ -678,7 +684,14 @@ def main() -> None:
         )
 
     if args.shuffle_seed is not None:
-        df = P.shuffle_deterministic(df, args.id_col, seed=args.shuffle_seed)
+        df = P.shuffle_deterministic(
+            df, args.id_col, seed=args.shuffle_seed,
+            n_shards=args.output_shards,
+        )
+    elif args.output_shards:
+        # deterministic shard CONTENT (hash on id); row order within a
+        # shard follows merge order — add --shuffle-seed for a pinned order
+        df = df.repartition(args.output_shards, F.col(args.id_col))
 
     writer = df.write.mode("overwrite")
     if args.split:

@@ -1985,6 +1985,31 @@ def packing_md5_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "uniform_sample_k",
+    """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5('9:' || CAST(doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 37
+""",
+)
+def uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sampling (§2.11): the 37 docs ranked lowest by
+    (md5 hash, id).  The Spark side selects via the distributed
+    k-th-threshold TakeOrdered + broadcast struct compare (no global
+    sort, no single-partition window); the oracle via one window — the
+    shared total order makes the verdicts identical."""
+    from .functions.sampling import uniform_sample_k as _usk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return _usk(docs, k=37, seed=9, hash_fn="md5")
+
+
+@_q(
     "packing_utilization",
     r"""
 WITH RECURSIVE t0 AS (

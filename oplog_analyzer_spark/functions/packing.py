@@ -137,14 +137,26 @@ def sequence_stats(packed: DataFrame, tokens_col: str = "n_tokens") -> DataFrame
 
 
 def shuffle_deterministic(
-    df: DataFrame, id_col: str = "doc_id", seed: int = 42
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Global deterministic training-order shuffle: sort by
     xxhash64(seed, id) — reproducible epoch ordering as a pure function of
     (ids, seed), re-shufflable per epoch by bumping the seed.  One range
     exchange + sort; at scale this is the standard pre-training corpus
-    shuffle (the sort key is random-uniform, so range partitions balance)."""
-    return df.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col))
+    shuffle (the sort key is random-uniform, so range partitions balance).
+
+    ``n_shards`` pins the output file count (the 100 TB tiny-files /
+    giant-files lever): ``repartitionByRange(n, key) +
+    sortWithinPartitions(key)`` produces the SAME global order as the
+    plain ``orderBy`` (range partitions are ordered), materialized in
+    exactly ``n`` files instead of spark.sql.shuffle.partitions."""
+    key = F.xxhash64(F.lit(seed), F.col(id_col))
+    if n_shards is None:
+        return df.orderBy(key, F.col(id_col))
+    return df.repartitionByRange(
+        n_shards, key, F.col(id_col)
+    ).sortWithinPartitions(key, F.col(id_col))
 
 
 def chunk_documents(

@@ -417,3 +417,45 @@ def temperature_upsample(
         .filter(F.col(out_col).isNotNull())
         .drop("__n_copies", "__copies")
     )
+
+
+def uniform_sample_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """EXACT-k deterministic uniform sample without replacement: keep the
+    k rows whose ``(seeded_hash(id), id)`` rank lowest — the
+    carve-out-an-eval-subset primitive the fraction samplers can't give
+    you (hash thresholds hit k only in expectation).  Like every hash
+    form here the membership is a pure function of (ids, seed) only while
+    the corpus is fixed: at exact-k, adding rows CAN evict prior members
+    (the k-th threshold moves) — use stratified_sample_fraction when
+    grow-stability matters more than exact cardinality.
+
+    Plan (the dsir_selected pattern): one distributed TakeOrdered of the
+    k-th (hash, id) threshold — a bounded k-row collect of two scalars —
+    then a broadcast struct compare; no global sort, no single-partition
+    window.  Fewer than k rows ⇒ everything; NULL ids hash to NULL and
+    are never selected (functions/hashing.py contract).  ``k <= 0``
+    raises."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from .hashing import seeded_hash
+
+    h = seeded_hash(seed, F.col(id_col), hash_fn)
+    key = F.struct(h.alias("h"), F.col(id_col).alias("i"))
+    kth = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(key.alias("k"))
+        .orderBy("k")
+        .limit(k)
+        .agg(F.max("k").alias("kth"))
+        .collect()[0]["kth"]
+    )
+    if kth is None:  # empty input
+        return df.filter(F.lit(False))
+    thr = F.struct(F.lit(kth["h"]).alias("h"), F.lit(kth["i"]).alias("i"))
+    return df.filter(F.col(id_col).isNotNull() & (key <= thr))

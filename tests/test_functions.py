@@ -2271,3 +2271,45 @@ def test_packing_report_accounting(spark):
     ).collect()[0].asDict()
     assert rep0["n_seqs"] == 0 and rep0["utilization_x10000"] == 0
     assert rep0["n_oversize"] == 2 and rep0["padding_tokens"] == 0
+
+
+def test_uniform_sample_k_exactness_and_edges(spark):
+    """Exactly k rows, equal to the brute-force (hash, id) rank top-k;
+    k >= n selects all; NULL ids never selected; reruns identical;
+    nested property: sample(5) ⊂ sample(10) (same seed — the threshold
+    only moves outward); k <= 0 raises."""
+    import pytest as _pytest
+
+    from oplog_analyzer_spark.functions.hashing import seeded_hash
+    from oplog_analyzer_spark.functions.sampling import uniform_sample_k
+
+    rows = [(i,) for i in range(50)] + [(None,)]
+    df = spark.createDataFrame(rows, "doc_id long")
+
+    got10 = sorted(
+        r["doc_id"] for r in uniform_sample_k(df, 10, seed=3).collect()
+    )
+    ranked = (
+        df.filter("doc_id IS NOT NULL")
+        .select("doc_id", seeded_hash(3, F.col("doc_id")).alias("h"))
+        .orderBy("h", "doc_id")
+        .collect()
+    )
+    assert got10 == sorted(r["doc_id"] for r in ranked[:10])
+    assert None not in got10
+
+    got5 = {r["doc_id"] for r in uniform_sample_k(df, 5, seed=3).collect()}
+    assert got5 < set(got10)
+    assert len(got5) == 5
+
+    all_rows = uniform_sample_k(df, 100, seed=3).collect()
+    assert len(all_rows) == 50  # NULL id excluded even at k >= n
+
+    again = sorted(
+        r["doc_id"] for r in uniform_sample_k(df, 10, seed=3).collect()
+    )
+    assert again == got10
+
+    assert uniform_sample_k(df.filter("doc_id < 0"), 3).count() == 0
+    with _pytest.raises(ValueError, match="positive"):
+        uniform_sample_k(df, 0)

@@ -830,3 +830,35 @@ def test_run_dataset_pack_report(spark, tmp_path, monkeypatch, capsys):
         s["pack_n_seqs"] * 64 - s["pack_total_tokens_packed"]
     )
     assert 0 < s["pack_utilization_x10000"] <= 10000
+
+
+def test_run_dataset_output_shards(spark, tmp_path, monkeypatch, capsys):
+    """--output-shards pins the output file count; with --shuffle-seed the
+    global row order equals the plain orderBy shuffle (range partitions
+    are ordered), just materialized in N files."""
+    import glob
+
+    src = _dataset_corpus(spark, tmp_path)
+    from jobs.run_dataset import main
+    from oplog_analyzer_spark.functions.packing import shuffle_deterministic
+
+    out = str(tmp_path / "out_shards")
+    _run(main, ["--input", src, "--output", out,
+                "--shuffle-seed", "7", "--output-shards", "3"],
+         monkeypatch, capsys)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 3
+    # global order across lexically-ordered shard files == plain orderBy
+    got = [r["doc_id"] for f in files for r in spark.read.parquet(f).collect()]
+    want = [
+        r["doc_id"]
+        for r in shuffle_deterministic(
+            spark.read.parquet(src), "doc_id", seed=7
+        ).collect()
+    ]
+    assert got == want
+
+    out2 = str(tmp_path / "out_shards_noshuffle")
+    _run(main, ["--input", src, "--output", out2, "--output-shards", "2"],
+         monkeypatch, capsys)
+    assert len(glob.glob(out2 + "/part-*.parquet")) == 2
