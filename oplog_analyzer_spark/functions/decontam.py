@@ -169,7 +169,9 @@ def semantic_contamination_report(
     # stringifies hints, and pandas_udf cannot resolve the stringified
     # Series -> DataFrame (struct-return) signature
     def _verdict(vecs):
-        if emat_t is None:
+        # empty Arrow batches (empty partitions after an upstream filter)
+        # take the sentinel branch too — np.vstack needs >= 1 array
+        if emat_t is None or len(vecs) == 0:
             n = len(vecs)
             return pd.DataFrame(
                 {

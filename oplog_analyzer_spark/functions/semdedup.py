@@ -103,6 +103,14 @@ def semdedup_verdicts(
         .limit(n_clusters)
         .collect()
     )
+    if not cent_rows:
+        # EMPTY corpus (everything gated away upstream): an empty verdict
+        # frame, not a crash — the anti-join caller then drops nothing
+        return df.sparkSession.createDataFrame(
+            [],
+            "id long, cluster long, cent_sim double, rnk int, "
+            "max_prior_sim double, dup_of long, is_dup boolean",
+        )
     # ascending cent_id so numpy argmax (first max wins) breaks
     # exact-score assignment ties toward the smaller centroid id —
     # the same (cosine DESC, cent_id ASC) order the SQL twin ranks by
@@ -114,6 +122,11 @@ def semdedup_verdicts(
 
     @pandas_udf("cluster long, cent_sim double")
     def assign(batch: pd.Series) -> pd.DataFrame:
+        if len(batch) == 0:  # empty Arrow batch — vstack needs >= 1 array
+            return pd.DataFrame({
+                "cluster": np.empty(0, dtype=np.int64),
+                "cent_sim": np.empty(0, dtype=np.float64),
+            })
         m = _normalize_rows(np.vstack(batch.to_numpy()).astype(np.float64))
         scores = m @ cent_mat.T
         best = np.argmax(scores, axis=1)

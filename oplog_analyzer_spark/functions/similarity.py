@@ -99,6 +99,8 @@ def lsh_signatures(
 
     @pandas_udf(ArrayType(IntegerType()))
     def signatures(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch — vstack needs >= 1 array
+            return pd.Series([], dtype=object)
         mat = np.vstack(vecs.to_numpy())  # (batch, dim)
         bits = (mat @ planes_b) > 0  # (batch, n_tables*bits_per)
         w = (1 << np.arange(bits_per)).astype(np.int64)
@@ -220,6 +222,8 @@ def refine_centroids(
 
         @pandas_udf(IntegerType())
         def nearest(batch: pd.Series) -> pd.Series:
+            if len(batch) == 0:
+                return pd.Series([], dtype="int32")
             m = np.vstack(batch.to_numpy())
             return pd.Series(np.argmax(m @ mat.T, axis=1).astype(np.int32))
 
@@ -307,6 +311,8 @@ def ivf_topk(
 
     @pandas_udf(ArrayType(LongType()))
     def nearest_centroids(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:
+            return pd.Series([], dtype=object)
         mat = np.vstack(batch.to_numpy())  # (batch, dim)
         scores = mat @ cent_mat.T  # (batch, K) — one matmul per Arrow batch
         order = np.argsort(-scores, axis=1, kind="stable")[:, :n_slots]

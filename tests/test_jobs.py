@@ -862,3 +862,103 @@ def test_run_dataset_output_shards(spark, tmp_path, monkeypatch, capsys):
     _run(main, ["--input", src, "--output", out2, "--output-shards", "2"],
          monkeypatch, capsys)
     assert len(glob.glob(out2 + "/part-*.parquet")) == 2
+
+
+def test_run_dataset_full_r6_chain(spark, tmp_path, monkeypatch, capsys):
+    """The whole r6 stage chain in ONE command — clean-text, n-gram +
+    semantic decontam, minhash dedup, SemDeDup, quality gate, DSIR
+    selection, split, temperature mixing, pack + report, shuffle,
+    sharded output — exercising the stage interactions (composite ids
+    into pack, stage counts monotone, report identity on the final
+    output)."""
+    import json
+
+    base = ("the quick brown fox jumps over the lazy dog and then some "
+            "more words follow here")
+    # three variant-specific tokens so cross-variant jaccard lands ~0.71
+    # (< the 0.8 dedup threshold); same-variant docs stay exact clones
+    rows = [
+        (i, f"{base} variant {i % 31} alpha{i % 31} beta{i % 31}",
+         "en" if i % 4 else "fr")
+        for i in range(60)
+    ]
+    # doc 1 carries a trigram found ONLY in the eval corpus (the shared
+    # base text must not contaminate everything)
+    rows[1] = (1, rows[1][1] + " zebra quagga okapi tapir", rows[1][2])
+    rows.append((100, rows[0][1], "en"))  # exact clone → minhash dedup
+    src = str(tmp_path / "docs_chain")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    # eval corpus for n-gram decontam: disjoint vocabulary except doc 1's
+    # planted marker trigrams
+    ev = str(tmp_path / "eval_chain")
+    spark.createDataFrame(
+        [(0, "held out zebra quagga okapi tapir benchmark prompt")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(ev)
+
+    # embeddings: train vectors for ids 0-60 (id 2 matches eval vector →
+    # sem-decontam drop; ids 3/7 share a vector → semdedup drops one)
+    emb_rows = [(i, [float(i % 13 + 1), float(i % 7 + 1)]) for i in range(61)]
+    emb_rows[2] = (2, [9.0, 0.0])
+    emb_rows[7] = (7, emb_rows[3][1])
+    tr_emb = str(tmp_path / "train_emb_chain")
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(tr_emb)
+    ev_emb = str(tmp_path / "eval_emb_chain")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(ev_emb)
+
+    from jobs.run_dataset import main
+
+    out = str(tmp_path / "out_chain")
+    printed = _run(main, [
+        "--input", src, "--output", out,
+        "--clean-text",
+        "--decontam", ev,
+        "--sem-decontam", ev_emb, "--sem-decontam-emb", tr_emb,
+        "--sem-decontam-threshold", "0.9999",
+        "--dedup", "minhash", "--dedup-threshold", "0.8",
+        "--semdedup", tr_emb, "--semdedup-threshold", "0.999999",
+        "--semdedup-clusters", "2",
+        "--quality-gate",
+        "--dsir-select", "40", "--dsir-target", "lang=en",
+        "--split", "train=0.8,val=0.2",
+        "--temp-mix", "0.5", "--temp-mix-domain", "lang",
+        "--pack", "64", "--pack-buckets", "4", "--pack-report",
+        "--shuffle-seed", "7", "--output-shards", "2",
+        "--hash", "md5",
+    ], monkeypatch, capsys)
+    s = json.loads(printed.strip().splitlines()[-1])
+
+    assert s["rows_in"] == 61
+    # doc 1 dropped by n-gram decontam; doc 2 by semantic decontam
+    assert s["rows_after_decontam"] == 60
+    assert s["rows_after_sem_decontam"] == 59
+    # clean-text ran before dedup; minhash removes the planted clone,
+    # semdedup one of the vector twins
+    assert s["rows_after_dedup"] <= 58
+    assert s["rows_after_semdedup"] <= s["rows_after_dedup"] - 1
+    assert s["rows_after_dsir"] == min(40, s["rows_after_quality"])
+    # stage counts monotone until temperature mixing (which replicates)
+    order = ["rows_in", "rows_after_decontam", "rows_after_sem_decontam",
+             "rows_after_dedup", "rows_after_semdedup",
+             "rows_after_quality", "rows_after_dsir"]
+    assert all(s[a] >= s[b] for a, b in zip(order, order[1:]))
+
+    got = spark.read.parquet(out)
+    assert got.count() == s["rows_after_temp_mix"]
+    # composite replica ids flowed into pack: every row has a slot
+    assert {"bucket", "seq_idx", "oversize", "split"} <= set(got.columns)
+    assert got.filter("split NOT IN ('train', 'val')").count() == 0
+    # pack-report identity on the written output
+    assert s["pack_padding_tokens"] == (
+        s["pack_n_seqs"] * 64 - s["pack_total_tokens_packed"]
+    )
+    assert s["pack_n_docs_packed"] + s["pack_n_oversize"] == (
+        s["rows_after_temp_mix"]
+    )
