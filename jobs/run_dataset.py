@@ -13,7 +13,7 @@ the way run_scan/run_tail expose the reference's surface).
     [--sem-decontam eval_emb.parquet] [--sem-decontam-emb train_emb.parquet] \
     [--sem-decontam-threshold 0.9] [--sem-decontam-vec-id vec_id] \
     [--sem-decontam-vec-col embedding] \
-    [--dedup exact|ngram|minhash|simhash] \
+    [--dedup exact|ngram|minhash|simhash] [--dedup-against base.parquet] \
     [--dedup-policy greedy|component_min|keep_best] \
     [--cluster-report <parquet>] [--dedup-threshold 0.8] \
     [--minhash-hashes 32] [--minhash-bands 8] [--max-bucket N] \
@@ -124,6 +124,15 @@ def main() -> None:
     ap.add_argument("--sem-decontam-vec-col",
                     help="vector column of both --sem-decontam embedding "
                     "tables (default embedding)")
+    ap.add_argument("--dedup-against",
+                    help="cross-corpus dedup: parquet path of a BASE "
+                    "corpus (a prior snapshot's admitted docs); new docs "
+                    "that exact- or near-match any base doc are dropped "
+                    "(functions/dedup.py::dedup_against — candidates are "
+                    "only ever new x base, so re-processing a grown crawl "
+                    "costs the delta, not the square); runs after "
+                    "within-corpus --dedup, honors --dedup-threshold/"
+                    "--minhash-*/--max-bucket")
     ap.add_argument("--dedup-threshold", type=float,
                     help="jaccard threshold for --dedup ngram|minhash "
                     "(default 0.8; rejected with other strategies — simhash "
@@ -298,12 +307,17 @@ def main() -> None:
     _require("--dedup-policy", args.dedup in ("ngram", "minhash", "simhash"),
              "with a near-dup strategy (--dedup ngram|minhash|simhash); "
              "exact dedup has no pair graph to resolve")
-    _require("--dedup-threshold", args.dedup in ("ngram", "minhash"),
-             "with --dedup ngram|minhash (jaccard); simhash uses "
-             "--simhash-hamming, exact has no threshold")
-    _require("--max-bucket", args.dedup == "minhash", "with --dedup minhash")
-    _require("--minhash-hashes", args.dedup == "minhash", "with --dedup minhash")
-    _require("--minhash-bands", args.dedup == "minhash", "with --dedup minhash")
+    near = args.dedup_against is not None
+    _require("--dedup-threshold",
+             args.dedup in ("ngram", "minhash") or near,
+             "with --dedup ngram|minhash or --dedup-against (jaccard); "
+             "simhash uses --simhash-hamming, exact has no threshold")
+    _require("--max-bucket", args.dedup == "minhash" or near,
+             "with --dedup minhash or --dedup-against")
+    _require("--minhash-hashes", args.dedup == "minhash" or near,
+             "with --dedup minhash or --dedup-against")
+    _require("--minhash-bands", args.dedup == "minhash" or near,
+             "with --dedup minhash or --dedup-against")
     _require("--simhash-hamming", args.dedup == "simhash", "with --dedup simhash")
     _require("--simhash-blocks", args.dedup == "simhash", "with --dedup simhash")
     _require("--match-blocks", args.dedup == "simhash", "with --dedup simhash")
@@ -469,6 +483,24 @@ def main() -> None:
         )
     if args.dedup:
         df = observe("rows_after_dedup", df)
+
+    if args.dedup_against:
+        base = spark.read.parquet(args.dedup_against)
+        verdicts = D.dedup_against(
+            df, base, id_col=args.id_col, text_col=args.text_col,
+            num_hashes=args.minhash_hashes or 32,
+            bands=args.minhash_bands or 8,
+            threshold=(
+                0.8 if args.dedup_threshold is None else args.dedup_threshold
+            ),
+            max_bucket=args.max_bucket,
+            hash_fn=args.hash,
+        )
+        df = df.join(
+            verdicts.filter("is_dup").select(F.col("id").alias(args.id_col)),
+            args.id_col, "left_anti",
+        )
+        df = observe("rows_after_dedup_against", df)
 
     if args.span_dedup:
         base_cols = df.columns

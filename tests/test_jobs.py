@@ -962,3 +962,49 @@ def test_run_dataset_full_r6_chain(spark, tmp_path, monkeypatch, capsys):
     assert s["pack_n_docs_packed"] + s["pack_n_oversize"] == (
         s["rows_after_temp_mix"]
     )
+
+
+def test_run_dataset_dedup_against_stage(spark, tmp_path, monkeypatch, capsys):
+    """--dedup-against drops new docs that exact- or near-match the base
+    snapshot, keeps genuinely new content, and unlocks the minhash knobs
+    without --dedup."""
+    import json
+
+    base_txt = ("the quick brown fox jumps over the lazy dog and then "
+                "some more words follow here")
+    base = spark.createDataFrame(
+        [(i, f"{base_txt} item {i} x{i} y{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    base_path = str(tmp_path / "base_snapshot")
+    base.write.mode("overwrite").parquet(base_path)
+
+    new_rows = (
+        # exact copies of base 0-4 → drop
+        [(1000 + i, f"{base_txt} item {i} x{i} y{i}", "en") for i in range(5)]
+        # near-dups of base 5-9 (one appended token) → drop at 0.5
+        + [(2000 + i, f"{base_txt} item {i} x{i} y{i} qq", "en")
+           for i in range(5, 10)]
+        # fresh docs → keep
+        + [(3000 + i, f"completely different content piece number {i} "
+            f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}", "en")
+           for i in range(7)]
+    )
+    src = str(tmp_path / "new_docs")
+    spark.createDataFrame(
+        new_rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    from jobs.run_dataset import main
+
+    out = str(tmp_path / "out_against")
+    printed = _run(main, [
+        "--input", src, "--output", out,
+        "--dedup-against", base_path, "--dedup-threshold", "0.5",
+        "--minhash-hashes", "16", "--minhash-bands", "4",
+    ], monkeypatch, capsys)
+    s = json.loads(printed.strip().splitlines()[-1])
+    assert s["rows_in"] == 17
+    assert s["rows_after_dedup_against"] == 7
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [3000 + i for i in range(7)]
