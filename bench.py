@@ -54,7 +54,10 @@ QUERY_REV = {
     # r6 additions: corpus-trigram quality scoring (model + broadcast-join
     # scoring, two corpus scans) and duplicated-span coverage (chunk-hash
     # doc-frequency)
-    "trigram_quality": 1,
+    # rev 2: self-scoring shares ONE persisted exploded (id, trigram)
+    # frame between the model aggregate and the scoring join (was two
+    # full corpus explodes) — 7.2 s → 0.9 s warm at sf0.1
+    "trigram_quality": 2,
     "dup_span_stats": 1,
     # r6 additions: SemDeDup (md5-certified row — the md5 is one hash per
     # id in the centroid pick, not the dominant term; the matmul + cluster
@@ -177,6 +180,12 @@ def main() -> None:
     per_query_median: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         fn = qs[name]
+        # isolate queries from each other: operators that persist internal
+        # frames (dsir counts, minhash signatures) would otherwise leak
+        # cache pressure into every LATER query's wall (observed: trigram_
+        # quality 3.9 s standalone vs 7.2-7.9 s after dsir_select joined
+        # the battery) — each query still gets its own warm run below
+        spark.catalog.clearCache()
         fn(spark, sf_dir).collect()  # warm (plan + IO caches)
         # 3 timed runs (fresh plan each — reusing one DataFrame would skip
         # completed shuffle stages); host noise varies >2x, so report BOTH
