@@ -65,7 +65,10 @@ QUERY_REV = {
     # the md5 twin dsir_weights would bench the certification hash, not
     # the operator)
     "semdedup": 1,
-    "dsir_select": 1,
+    # rev 2: scores frame cached when k is set — the k-th-threshold probe
+    # and the final action share one scores computation (2.8 → 1.0 s warm
+    # at sf0.1)
+    "dsir_select": 2,
 }
 
 HEADLINE_QUERIES = [

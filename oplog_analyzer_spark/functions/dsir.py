@@ -214,4 +214,13 @@ def dsir_weights(
         counts = counts.persist()
     ratios = dsir_bucket_ratios(counts, target.select(id_col), n_buckets)
     scores = dsir_scores(df, counts, ratios, id_col)
-    return scores if k is None else dsir_selected(scores, k)
+    if k is None:
+        return scores
+    if persist_counts:
+        # the selection reads scores twice (the k-th-threshold probe is an
+        # action, then the caller's own action recomputes the frame);
+        # scores is one skinny row per doc, so cache it and both passes —
+        # including the ratio aggregate feeding its broadcast join — run
+        # once
+        scores = scores.persist()
+    return dsir_selected(scores, k)
