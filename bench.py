@@ -205,6 +205,7 @@ def main() -> None:
     # large enough that the timed run measures the engine rather than fixed
     # per-query overhead (~14k turns/s at 200k turns vs ~100k+ at 2M)
     n_turns = int(os.environ.get("BENCH_TURNS", str(int(20_000_000 * sf_val))))
+    spark.catalog.clearCache()  # pipeline measured without query leftovers
     walls, actual = bench_pipeline(spark, n_turns)
     wall = min(walls)
     wall_median = statistics.median(walls)
