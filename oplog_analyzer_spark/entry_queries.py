@@ -2010,6 +2010,43 @@ def uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "token_budget_sample",
+    r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+         CAST(('0x' || substr(md5('21:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+), o AS (
+  SELECT doc_id, lang,
+         coalesce(sum(n) OVER (
+           ORDER BY h % 256, h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM t
+)
+SELECT doc_id, lang FROM o WHERE cumb < 13000
+""",
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus carving (§2.11): keep docs in the deterministic
+    (bucket, hash, id) order until 13 000 tokens fill (~half this corpus's
+    27k) — the crossing doc included.  The Spark side runs the distributed
+    prefix-sum decomposition (per-bucket totals → driver prefix → whole
+    buckets by isin → the cumulative window over ONLY the one boundary
+    bucket); the oracle runs the naive single global cumulative window —
+    the same membership, certified row-by-row."""
+    from .functions.sampling import token_budget_sample as _tbs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return _tbs(docs, budget=13000, seed=21, hash_fn="md5").select(
+        "doc_id", "lang"
+    )
+
+
+@_q(
     "packing_utilization",
     r"""
 WITH RECURSIVE t0 AS (

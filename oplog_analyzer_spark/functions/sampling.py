@@ -459,3 +459,91 @@ def uniform_sample_k(
         return df.filter(F.lit(False))
     thr = F.struct(F.lit(kth["h"]).alias("h"), F.lit(kth["i"]).alias("i"))
     return df.filter(F.col(id_col).isNotNull() & (key <= thr))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Carve a corpus by TOKEN budget: walk the docs in a deterministic
+    pseudo-random order and keep each doc whose predecessors total fewer
+    than ``budget`` tokens — "take until full", the crossing doc included
+    (kept total overshoots by less than one document).  This is how a
+    training subset is actually sized — in tokens, not docs (exact-k and
+    fraction samplers can't see document length).
+
+    The carve order is (bucket, hash, id) with ``bucket = hash mod
+    n_buckets`` — bucket-major, but every level is a pure function of
+    (id, seed), so the order is still a deterministic uniform permutation
+    and membership is reproducible.
+
+    Scale shape — the naive form is ONE global cumulative-sum window
+    (single-partition sort of the corpus); this instead runs the
+    distributed prefix-sum decomposition:
+
+      1. per-bucket token totals — one map-side-combinable aggregate,
+         ``n_buckets`` rows collected;
+      2. the driver prefixes them in bucket order: buckets whose prefix
+         END ≤ budget are kept whole, buckets starting ≥ budget drop
+         whole — a narrow ``isin`` filter, no sort, no window;
+      3. at most ONE boundary bucket gets the cumulative window, sized
+         corpus/n_buckets (raise ``n_buckets`` with the corpus so the
+         boundary partition stays bounded).
+
+    NULL ids hash to NULL and drop (hashing contract); ``budget ≤ 0``
+    keeps nothing; ``budget ≥`` the corpus total keeps everything."""
+    from .hashing import seeded_hash
+
+    if tokens_col is None:
+        from .textstats import tokens
+
+        t = df.withColumn("__n", F.size(tokens(text_col)).cast("long"))
+    else:
+        t = df.withColumn("__n", F.col(tokens_col).cast("long"))
+    h = seeded_hash(seed, F.col(id_col), hash_fn)
+    t = (
+        t.withColumn("__h", h)
+        .filter(F.col("__h").isNotNull())
+        .withColumn("__b", F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int"))
+    )
+
+    sums = {
+        r["b"]: r["s"]
+        for r in t.groupBy(F.col("__b").alias("b"))
+        .agg(F.sum("__n").alias("s"))
+        .collect()
+    }
+    full, boundary, running = [], None, 0
+    for b in sorted(sums):
+        if running >= budget:
+            break
+        if running + sums[b] <= budget:
+            full.append(b)
+        else:
+            boundary = b
+        running += sums[b]
+        if boundary is not None:
+            break
+    prefix_at_boundary = running - (sums[boundary] if boundary is not None else 0)
+
+    kept = t.filter(F.col("__b").isin(full)) if full else t.filter(F.lit(False))
+    if boundary is not None:
+        w = (
+            Window.partitionBy("__b")
+            .orderBy("__h", id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        edge = (
+            t.filter(F.col("__b") == boundary)
+            .withColumn("__cumb", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+            .filter(F.col("__cumb") + F.lit(prefix_at_boundary) < F.lit(budget))
+            .drop("__cumb")
+        )
+        kept = kept.unionByName(edge)
+    return kept.drop("__h", "__b", "__n")

@@ -2313,3 +2313,55 @@ def test_uniform_sample_k_exactness_and_edges(spark):
     assert uniform_sample_k(df.filter("doc_id < 0"), 3).count() == 0
     with _pytest.raises(ValueError, match="positive"):
         uniform_sample_k(df, 0)
+
+
+def test_token_budget_sample_carve_semantics(spark):
+    """Kept set == the naive global cumulative-window rule (take in
+    (bucket, hash, id) order while predecessors total < budget, crossing
+    doc included); budget edges (0, exact fit, >= total); NULL ids drop;
+    token column passthrough; the boundary-bucket decomposition agrees
+    with a 1-bucket (fully-windowed) run."""
+    from oplog_analyzer_spark.functions.hashing import seeded_hash
+    from oplog_analyzer_spark.functions.sampling import token_budget_sample
+
+    rows = [(i, "tok " * (i % 7 + 1)) for i in range(80)] + [(None, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def naive(budget, n_buckets):
+        # brute force in python: reproduce order (bucket, hash, id)
+        hs = {
+            r["doc_id"]: r["h"]
+            for r in df.filter("doc_id IS NOT NULL")
+            .select("doc_id", seeded_hash(5, F.col("doc_id")).alias("h"))
+            .collect()
+        }
+        toks = {i: (i % 7 + 1) for i in range(80)}
+        order = sorted(hs, key=lambda i: (hs[i] % n_buckets, hs[i], i))
+        kept, run = set(), 0
+        for i in order:
+            if run < budget:
+                kept.add(i)
+            run += toks[i]
+        return kept
+
+    for budget in (0, 1, 37, 160, 10_000):
+        for nb in (1, 8, 256):
+            got = {
+                r["doc_id"]
+                for r in token_budget_sample(
+                    df, budget, seed=5, n_buckets=nb
+                ).collect()
+            }
+            assert got == naive(budget, nb), (budget, nb)
+            assert None not in got
+
+    out = token_budget_sample(df, 50, seed=5)
+    assert out.columns == ["doc_id", "text"]
+    with_tok = df.withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+    out2 = token_budget_sample(
+        with_tok, 50, tokens_col="n_tokens", seed=5
+    )
+    assert out2.columns == ["doc_id", "text", "n_tokens"]
+    assert {r["doc_id"] for r in out2.collect()} == {
+        r["doc_id"] for r in out.collect()
+    }
