@@ -2010,6 +2010,43 @@ def uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "score_tertiles",
+    """
+WITH hist AS (
+  SELECT n_chars AS s, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1
+), pre AS (
+  SELECT s, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS run FROM hist
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), thr AS (
+  SELECT qs.q, min(p.s) AS t
+  FROM pre p, tot, (VALUES (1), (2)) qs(q)
+  WHERE p.run >= (tot.n * qs.q + 2) // 3
+  GROUP BY qs.q
+)
+SELECT d.doc_id, d.n_chars,
+       CAST((CASE WHEN d.n_chars > t1.t THEN 1 ELSE 0 END)
+          + (CASE WHEN d.n_chars > t2.t THEN 1 ELSE 0 END) AS INT) AS qbucket
+FROM documents d,
+     (SELECT t FROM thr WHERE q = 1) t1,
+     (SELECT t FROM thr WHERE q = 2) t2
+""",
+)
+def score_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score quantile bucketing (§2.11, the CCNet head/middle/tail
+    pattern) over the bounded integer n_chars column: threshold_q = the
+    smallest value whose cumulative count reaches ceil(n·q/3), bucket =
+    #{thresholds below the score} — ties land whole in one bucket.  The
+    Spark side computes the thresholds from the bounded-domain histogram
+    (one combine aggregate, no global sort); the oracle from a cumulative
+    window — identical integer thresholds, identical buckets."""
+    from .functions.sampling import score_quantile_buckets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return score_quantile_buckets(docs, "n_chars", n_buckets=3)
+
+
+@_q(
     "token_budget_sample",
     r"""
 WITH t AS (

@@ -547,3 +547,65 @@ def token_budget_sample(
         )
         kept = kept.unionByName(edge)
     return kept.drop("__h", "__b", "__n")
+
+
+def score_quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 3,
+    out_col: str = "qbucket",
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Assign every row its score quantile bucket 0..n_buckets−1 (the
+    CCNet head/middle/tail pattern: partition a corpus by a quality
+    score, then mix or gate per band; Wenzek et al. 2020 use perplexity
+    tertiles — here any score works, e.g. ``trigram_cov_x10000`` or the
+    Gopher features, all of which follow this repo's bounded fixed-point
+    convention).
+
+    EXACT quantiles without the global sort an ``ntile`` window costs:
+    integer fixed-point scores have a BOUNDED value domain, so the full
+    score distribution is one map-side-combinable ``groupBy(score).
+    count()`` — at most ``max_distinct`` rows (raise if exceeded: a
+    float/unbounded score belongs in approx_percentile territory, not
+    here), collected and prefixed driver-side into threshold values.
+    Bucket edges are VALUE thresholds: threshold_q = the smallest score
+    whose cumulative count reaches ceil(n·q/n_buckets), and a row's
+    bucket = #{q : score > threshold_q} — all ties of a boundary value
+    land in ONE bucket (sizes skew only by tie mass; deterministic, and
+    the definition any SQL engine reproduces).  NULL scores get a NULL
+    bucket.  The assignment itself is a narrow codegen'd CASE chain —
+    no shuffle, no window, no Python."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    hist = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("s")
+        .limit(max_distinct + 1)
+        .collect()
+    )
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"{score_col} has more than max_distinct={max_distinct} "
+            "distinct values — the bounded-domain histogram only fits "
+            "fixed-point scores; pre-quantize or raise max_distinct"
+        )
+    n = sum(r["c"] for r in hist)
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    thresholds = []
+    run, q = 0, 1
+    for r in hist:
+        run += r["c"]
+        while q < n_buckets and run >= -(-n * q // n_buckets):
+            thresholds.append(r["s"])
+            q += 1
+    bucket = F.lit(0)
+    for t in thresholds:
+        bucket = bucket + (F.col(score_col) > F.lit(t)).cast("int")
+    return df.withColumn(
+        out_col,
+        F.when(F.col(score_col).isNotNull(), bucket).cast("int"),
+    )

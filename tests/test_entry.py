@@ -43,7 +43,7 @@ PARKED_ORACLED = {
     "corpus_profile", "stream_embdedup_audit", "gopher_quality", "semdedup",
     "dsir_weights", "crosscorpus_dedup", "semantic_decontam",
     "temperature_mixture", "text_cleaning", "packing_utilization",
-    "uniform_sample_k", "token_budget_sample",
+    "uniform_sample_k", "token_budget_sample", "score_tertiles",
 }
 
 

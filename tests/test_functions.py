@@ -2365,3 +2365,49 @@ def test_token_budget_sample_carve_semantics(spark):
     assert {r["doc_id"] for r in out2.collect()} == {
         r["doc_id"] for r in out.collect()
     }
+
+
+def test_score_quantile_buckets_semantics(spark):
+    """Tertile sizes within one of n/3 on a tie-free score; a massive tie
+    lands whole in one bucket; NULL scores get NULL buckets; all-ties
+    degenerates to one bucket; max_distinct guard raises; n_buckets < 2
+    raises."""
+    import pytest as _pytest
+
+    from oplog_analyzer_spark.functions.sampling import score_quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, i * 7 % 90) for i in range(90)] + [(1000, None)],
+        "doc_id long, s long",
+    )
+    out = {r["doc_id"]: r["qbucket"] for r in
+           score_quantile_buckets(df, "s", n_buckets=3).collect()}
+    assert out[1000] is None
+    from collections import Counter
+
+    sizes = Counter(v for k, v in out.items() if k != 1000)
+    assert set(sizes) == {0, 1, 2} and all(abs(c - 30) <= 1 for c in sizes.values())
+    # bucket order follows score order
+    by_score = {k: k * 7 % 90 for k in out if k != 1000}
+    for a in by_score:
+        for b in by_score:
+            if by_score[a] < by_score[b]:
+                assert out[a] <= out[b]
+
+    tied = spark.createDataFrame(
+        [(i, 5) for i in range(50)] + [(100 + i, 9) for i in range(10)],
+        "doc_id long, s long",
+    )
+    t = {r["doc_id"]: r["qbucket"] for r in
+         score_quantile_buckets(tied, "s", n_buckets=3).collect()}
+    assert all(t[i] == t[0] for i in range(50))        # the tie mass together
+    assert all(t[100 + i] > t[0] for i in range(10))   # above both thresholds
+
+    one = spark.createDataFrame([(i, 7) for i in range(9)], "doc_id long, s long")
+    assert {r["qbucket"] for r in
+            score_quantile_buckets(one, "s").collect()} == {0}
+
+    with _pytest.raises(ValueError, match="max_distinct"):
+        score_quantile_buckets(df, "s", max_distinct=5)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        score_quantile_buckets(df, "s", n_buckets=1)
