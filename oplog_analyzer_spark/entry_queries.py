@@ -469,7 +469,11 @@ GROUP BY word
 """,
 )
 def x1_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from .sources.tables import fan_out
+
+    # coarse single-row-group scan: fan out before the word explode so the
+    # split+explode runs at cluster width (sources/tables.fan_out)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -2247,8 +2251,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-oracled in tests/test_functions.py)."""
     from .functions.packing import pack_sequences, sequence_stats
     from .functions.textstats import token_count
+    from .sources.tables import fan_out
 
-    docs = token_count(load_table(spark, sf_dir, "documents"))
+    docs = token_count(fan_out(load_table(spark, sf_dir, "documents"), "doc_id"))
     packed = pack_sequences(
         docs.select("doc_id", "n_tokens"), max_tokens=256, n_buckets=16
     )
@@ -2305,11 +2310,18 @@ def tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    joined = (
+    # broadcast the (customer ⋈ date-filtered orders) side, NOT lineitem:
+    # the planner's size estimate put the 3-column lineitem projection
+    # under the broadcast threshold and built a 6M-row hash relation on
+    # the driver (r07 before-plan: BroadcastHashJoin BuildRight over the
+    # lineitem scan — the query's whole wall).  The c⋈o side after the
+    # date pushdown is ~an order of magnitude smaller and the fact table
+    # streams unshuffled (guide §3.1: pick the build side deliberately).
+    co = (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
         .filter(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp"))
     )
+    joined = li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
     return (
         joined.groupBy("o_orderkey", "o_orderdate")
         .agg(

@@ -10,7 +10,9 @@ measure generalization, not memorization.
 Scale shape (the whole point at 100 TB): the benchmark side is always
 small — eval suites are thousands of documents, so their distinct-gram set
 is at most a few million short strings.  The plan therefore never shuffles
-the training corpus:
+the training corpus' gram stream (fan_out may redistribute the COMPACT
+source rows once when the scan is coarse — sources/tables.fan_out — which
+is a no-op at real scale):
 
   1. benchmark grams  = one scan of the (tiny) benchmark → distinct grams;
   2. contamination    = explode the training docs' gram arrays and
@@ -37,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingles
+from ..sources.tables import fan_out
 
 
 def benchmark_ngrams(
@@ -50,7 +53,7 @@ def benchmark_ngrams(
     # materialized array + explode_outer + null-filter (the
     # InferFiltersFromGenerate re-stamping trap — functions/dedup.py note)
     return (
-        bench.select(shingles(text_col, n).alias("__sh"))
+        fan_out(bench).select(shingles(text_col, n).alias("__sh"))
         .select(F.explode_outer("__sh").alias("gram"))
         .filter(F.col("gram").isNotNull())
         .distinct()
@@ -73,7 +76,7 @@ def contamination_report(
 
     One broadcast join + one groupBy on the hit stream (see module
     docstring for why the corpus is never shuffled)."""
-    grams = docs.select(
+    grams = fan_out(docs, id_col).select(
         F.col(id_col), shingles(text_col, n).alias("__sh")
     ).select(
         F.col(id_col),

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from .hashing import seeded_hash
 from .textstats import tokens
+from ..sources.tables import fan_out
 
 
 def hashed_ngram_counts(
@@ -62,7 +63,7 @@ def hashed_ngram_counts(
     map-side-combinable (id, bucket) aggregate.  Empty documents tokenize
     to an empty array and simply vanish here; callers re-attach them with
     a left join (see :func:`dsir_scores`)."""
-    w = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("w"))
+    w = fan_out(df, id_col).select(F.col(id_col).alias("id"), tokens(text_col).alias("w"))
     n1 = F.greatest(F.size("w") - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice("w", 1, n1),

@@ -47,7 +47,7 @@ the §2.11 training-data family, beyond-reference by design (SURVEY §2.11).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,14 +65,20 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
-    Output stays canonical (emitted (v, m) always has v > u ≥ m)."""
+    Output stays canonical (emitted (v, m) always has v > u ≥ m).
+
+    One WINDOW min per u instead of the former groupBy-min + self-join
+    (r7): ``min(v) over (partition by u)`` is an unbounded-frame window —
+    no sort, one exchange — where groupBy+join cost two exchanges plus a
+    join build per round.  At fixed per-shuffle latency this halves the
+    round cost of the whole alternation."""
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -83,19 +89,21 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """Connect every smaller-or-equal neighbor of u (and u itself) to
     min(N(u) ∪ {u}).  Requires canonical input (u > v, so N(u) ⊂ [0, u));
-    output is canonical."""
-    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-    relink = (
-        edges.join(mins, "u")
-        .filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    output is canonical.
+
+    Same window-min rewrite as :func:`_large_star`, plus the union is
+    folded into one projection: the input edge set is distinct, so exactly
+    one row per u carries v == min — that row becomes the (u, m) self-link
+    and every other row the (v, m) relink, no join and no union."""
+    w = Window.partitionBy("u")
+    e2 = edges.withColumn("m", F.min("v").over(w))
+    out = e2.select(
+        F.when(F.col("v") == F.col("m"), F.col("u"))
+        .otherwise(F.col("v"))
+        .alias("u"),
+        F.col("m").alias("v"),
     )
-    selflink = mins.select("u", F.col("m").alias("v"))
-    return (
-        relink.union(selflink)
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
 
 
 def _is_star_forest(e: DataFrame) -> bool:

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
+from ..sources.tables import fan_out
+
 
 def _dot(a: F.Column | str, b: F.Column | str) -> F.Column:
     return F.aggregate(
@@ -142,6 +144,7 @@ def lsh_bucket_topk(
     bounded recall inside the hot bucket for a hard cost ceiling; the
     dropped vectors still reachable through their other tables/probes.
     """
+    df = fan_out(df, id_col)
     planes = make_planes(dim, n_tables * n_planes, seed)
     sigs = lsh_signatures(normalize(df, vec_col), planes, id_col, vec_col, n_tables)
 
@@ -288,7 +291,9 @@ def ivf_topk(
       * size ``n_centroids`` ≫ executor count at scale (10^9 vectors →
         tens of thousands of lists) so the candidate shuffle spreads.
     """
-    vecs = normalize(df, vec_col).select(F.col(id_col).alias("id"), "v")
+    vecs = normalize(fan_out(df, id_col), vec_col).select(
+        F.col(id_col).alias("id"), "v"
+    )
     cent_rows = (  # bounded collect: exactly n_centroids small vectors
         vecs.withColumn("__h", F.xxhash64(F.lit(seed), "id"))
         .orderBy("__h")

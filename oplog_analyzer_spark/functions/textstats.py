@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.tables import fan_out
+
 # tiny high-frequency stopword lists for the language-ID heuristic
 EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
 FR_STOPWORDS = ("le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans")
@@ -123,6 +125,7 @@ def repetition_stats(
     lines = F.split(F.col(text_col), r"\n")
     grams_expr = _multiset_ngrams(text_col, n)
 
+    df = fan_out(df, id_col)
     # materialize the gram array BEFORE exploding, and explode_outer + a
     # null-filter on the GENERATED column instead of plain explode:
     # InferFiltersFromGenerate would otherwise stamp the whole gram build
@@ -323,14 +326,15 @@ def gopher_rules(
     Emits one feature column + one boolean per rule plus the conjunction
     ``gopher_ok``.
 
-    Plan: every rule is pure array/regexp codegen on ONE scan — no
-    shuffle, no Python, no join; at 100 TB this is a free rider on
-    whatever scan the pipeline already does.  Thresholds are the paper's
+    Plan: every rule is pure array/regexp codegen in one projection — no
+    Python, no join; at 100 TB this is a free rider on whatever scan the
+    pipeline already does (fan_out fires only on coarse single-row-group
+    scans, where the regex battery would otherwise run on 1-2 tasks).  Thresholds are the paper's
     constants; they are parameters because the paper itself retunes them
     per corpus.
     """
     f = _gopher_feature_exprs(text_col)
-    feat = df.select(
+    feat = fan_out(df, id_col).select(
         F.col(id_col), *[f[name].alias(name) for name in _GOPHER_FEATURES]
     )
     rules = feat.select(
@@ -443,7 +447,9 @@ def corpus_profile(
     SQL-certified one (`corpus_profile` driver row); the sketch form is
     pytest-bounded against it (±5%).
 
-    Plan: ONE scan, one global aggregate (map-side partials), no joins.
+    Plan: one global aggregate (map-side partials), no joins; fan_out
+    parallelizes the tokenize projection when the source scan is coarse
+    (no-op at real scale, where inputs arrive in many files).
     """
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     n_tokens = F.size(tokens(text_col))
@@ -457,7 +463,7 @@ def corpus_profile(
         if approx
         else F.count_distinct(F.col(id_col))
     )
-    return df.agg(
+    return fan_out(df, id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         distinct_ids.cast("long").alias("distinct_ids"),
         distinct_texts.cast("long").alias("distinct_texts"),
@@ -496,7 +502,7 @@ def trigram_model(
     broadcast it into the scoring join)."""
     if top_k <= 0:
         raise ValueError("top_k must be positive")
-    exploded = df.select(
+    exploded = fan_out(df).select(
         F.explode_outer(_char_trigrams(text_col)).alias("g")
     ).filter(F.col("g").isNotNull())
     return (
@@ -539,7 +545,7 @@ def trigram_coverage(
     map-side, shuffle ∝ docs).  No Python anywhere.  The cache is left
     to LRU eviction (one skinny (id, 3-char) frame).
     """
-    exploded = df.select(
+    exploded = fan_out(df, id_col).select(
         F.col(id_col), F.explode_outer(_char_trigrams(text_col)).alias("g")
     )
     if model is None:
@@ -611,7 +617,9 @@ def clean_text(
     (the JVM has no normalizer builtin) — an Arrow-batched pandas UDF
     whose per-element ``str.isascii()`` short-circuit skips the
     normalizer entirely for ASCII rows, the overwhelming majority of a
-    web corpus.  One scan, no shuffle, no join."""
+    web corpus.  One scan, no join; fan_out raises parallelism for the
+    normalizer projection when the source scan is coarse (no-op on
+    already-shuffled or many-file inputs)."""
     import pandas as pd
     import unicodedata
     from pyspark.sql.functions import pandas_udf
@@ -629,7 +637,7 @@ def clean_text(
     _norm.__annotations__ = {"batch": pd.Series, "return": pd.Series}
     norm_udf = pandas_udf("string")(_norm)
 
-    normed = df.withColumn("__norm", norm_udf(F.col(text_col)))
+    normed = fan_out(df).withColumn("__norm", norm_udf(F.col(text_col)))
     counted = normed.select(
         "*",
         F.regexp_count("__norm", F.lit(CLEAN_CONTROL_RE)).cast("long").alias("n_controls"),

@@ -193,9 +193,11 @@ def test_trigram_scoring_model_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_span_stats_chunking_is_shuffle_free_until_freq(spark):
-    """duplicated_span_stats: the chunk build must stay narrow (no
-    Exchange between the scan and the first hash aggregate) and the
+def test_span_stats_chunking_is_narrow_after_fanout(spark):
+    """duplicated_span_stats: the chunk build is a narrow projection +
+    Generate (the only Exchange below the frequency aggregate is the
+    r7 fan_out repartition of the COMPACT source rows — fired here
+    because the testdata scan is a single coarse row group), and the
     frequency aggregate must be two-phase."""
     from oplog_analyzer_spark.functions.dedup import duplicated_span_stats
 
@@ -204,13 +206,37 @@ def test_span_stats_chunking_is_shuffle_free_until_freq(spark):
     tree = plan.split("\n\n")[0]
     # partial+final for the chunk-hash freq agg AND the doc agg
     assert tree.count("HashAggregate") >= 4
-    # chunk construction is a projection over the scan — the first
-    # operator boundary above the scan must not be an Exchange
+    # chunk explode present above the scan; the fan_out exchange (if any)
+    # must hash-partition on the doc id, never on the chunk text
     scan_idx = tree.find("Scan parquet")
     assert scan_idx != -1
     above = tree[:scan_idx].splitlines()
     gen_lines = [l for l in above if "Generate" in l or "Project" in l]
-    assert gen_lines, "chunk explode should sit directly on the scan side"
+    assert gen_lines, "chunk explode should sit on the scan side"
+    assert "hashpartitioning(chunk_text" not in plan
+
+
+def test_fan_out_fires_only_on_coarse_scans(spark, tmp_path):
+    """fan_out: repartitions a coarse single-file scan to cluster
+    parallelism, and is a NO-OP on already-shuffled frames (the
+    mid-pipeline case) and on local relations."""
+    from oplog_analyzer_spark.sources.tables import fan_out
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    target = spark.sparkContext.defaultParallelism
+    fanned = fan_out(docs, "doc_id")
+    assert "Repartition" in fanned._jdf.queryExecution().logical().toString()
+    assert fanned.rdd.getNumPartitions() == target
+    # results unchanged (hash repartition is deterministic + exhaustive)
+    assert fanned.count() == docs.count()
+    # no-op on an aggregated (already shuffled) frame
+    agg = docs.groupBy("lang").count()
+    assert fan_out(agg, "lang") is agg
+    # no-op on a second application (Repartition already present)
+    assert fan_out(fanned, "doc_id") is fanned
+    # no-op on a local relation (no input files)
+    local = spark.range(5)
+    assert fan_out(local, "id") is local
 
 
 def test_neardup_stream_batch_join_shape(spark, tmp_path):
