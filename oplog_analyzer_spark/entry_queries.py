@@ -1352,11 +1352,23 @@ def w4_reassembly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.windows import reassemble_conversations
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # alias BEFORE the window and partition the window BY the alias: the
+    # window's hashpartitioning(conv_id) then survives the projection into
+    # both reassembly aggregates (grouped on conv_id[, bucket] — a
+    # superset of the partitioning), so the whole query runs on ONE
+    # exchange.  The former user_id-keyed window dropped its partitioning
+    # attribute at the rename and both aggregates re-exchanged (r07
+    # before-plan: 3 Exchanges → 1).
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     turns = ev.select(
         F.col("user_id").alias("conv_id"),
-        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.col("ts"),
+        F.col("event_id"),
         F.col("event_type").alias("text"),
+    ).select(
+        "conv_id",
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        "text",
     )
     out = reassemble_conversations(turns, bucket_span=4)
     return out.select("conv_id", F.md5("full_text").alias("text_md5"), "n_turns")

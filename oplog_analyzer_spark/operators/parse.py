@@ -48,6 +48,41 @@ def grok_extract(text: pd.Series) -> pd.DataFrame:
     return text.str.extract(_GROK_RE).fillna("")
 
 
+def normalize_id_expr(raw: F.Column) -> F.Column:
+    """P2 as a pure JVM Column — value-identical to :func:`normalize_id`
+    (pytest-pinned) with zero Python-boundary cost: the pipeline formerly
+    shipped EVERY extracted id through an ArrowEvalPython stage only for
+    the rare hex reshapes (guide §4.1 — prefer built-ins; removing the
+    node also removes one Arrow round-trip per row from the parse stage).
+
+    Dispatch mirrors the pandas form exactly: all inputs are ASCII-or-
+    passthrough, so Java's UTF-16 ``length`` agrees with pandas
+    ``str.len`` on every branch that uses it (the hex branches), and the
+    ``rlike`` pattern is anchored to reproduce ``fullmatch``."""
+    is_hex = raw.rlike("^[0-9a-fA-F]{16,}$")
+    n = F.length(raw)
+    low = F.lower(raw)
+    uuid32 = F.concat_ws(
+        "-",
+        F.substring(low, 1, 8),
+        F.substring(low, 9, 4),
+        F.substring(low, 13, 4),
+        F.substring(low, 17, 4),
+        F.substring(low, 21, 12),
+    )
+    longhex = F.concat(
+        F.substring(low, 1, 16),
+        F.lit("...("),
+        F.floor(n / 2).cast("long").cast("string"),
+        F.lit(" bytes)"),
+    )
+    return (
+        F.when(is_hex & (n == 32), uuid32)
+        .when(is_hex & (n > 32) & (n % 2 == 0), longhex)
+        .otherwise(raw)
+    )
+
+
 @pandas_udf(StringType())
 def normalize_id(raw: pd.Series) -> pd.Series:
     """P2 — id-to-string normalization (BaseOplogCommand.java:170-226,
@@ -190,7 +225,7 @@ def parse_transcripts(
             df.withColumn("_g", grok_extract("text"))
             .withColumn("ns", F.col("_g.ns"))
             .withColumn("op", F.col("_g.op"))
-            .withColumn("id", normalize_id(F.col("_g.id")))
+            .withColumn("id", normalize_id_expr(F.col("_g.id")))
             .drop("_g")
             .withColumn("size", F.octet_length("text").cast("long"))
             .withColumn("sub", F.regexp_extract("text", r"sub:(\S+)", 1))
@@ -199,7 +234,7 @@ def parse_transcripts(
         out = (
             df.withColumn("ns", F.regexp_extract("text", _NS_RE, 1))
             .withColumn("op", F.regexp_extract("text", _OP_RE, 1))
-            .withColumn("id", normalize_id(F.regexp_extract("text", _ID_RE, 1)))
+            .withColumn("id", normalize_id_expr(F.regexp_extract("text", _ID_RE, 1)))
             .withColumn("size", F.octet_length("text").cast("long"))
             .withColumn("sub", F.regexp_extract("text", r"sub:(\S+)", 1))
         )

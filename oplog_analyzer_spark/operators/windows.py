@@ -21,7 +21,21 @@ def top_k_per_group(
 
     Deterministic: the ordering always ends with explicit tie-break
     columns so ranks are stable under any partitioning.
+
+    Physical shape (Spark 3.5+): WindowGroupLimit pushes a PARTIAL top-k
+    below the exchange — each map task sorts ITS partition and forwards
+    at most k rows per group.  That partial sort runs per input split,
+    so a coarse single-row-group scan would sort the whole table on one
+    task; fan_out (sources/tables.py) spreads it first (no-op on
+    well-split or already-shuffled inputs).
     """
+    from ..sources.tables import fan_out
+
+    # key the fan-out on the (high-cardinality) tie-break/order columns,
+    # NOT the group columns: any partitioning is valid for the partial
+    # limit, and hashing on a handful of group values would cap
+    # parallelism at their cardinality
+    df = fan_out(df, *(tiebreak_cols or [order_col]))
     order = [F.desc(order_col) if descending else F.asc(order_col)]
     for c in tiebreak_cols or []:
         order.append(F.asc(c))

@@ -32,6 +32,18 @@ _SCALE_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Bounded parquet split size so a 100 TB scan yields well-sized tasks.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Parquet writes: zstd beats the snappy default on BOTH axes here —
+    # measured on the 5M-turn routed sink: 281 MB → 197 MB written, write
+    # wall 7.5 → 6.7 s, read-back aggregate 1.9 → 1.8 s (fewer bytes
+    # through the single virtio disk); guide §6 recommends the same at
+    # cluster scale (smaller than snappy at similar read speed).
+    "spark.sql.parquet.compression.codec": "zstd",
+    # zstd level 1, not the parquet-java default 3: measured on the
+    # 20M-turn routed sink, level 3 wrote 756 MB in 28-54 s, level 1
+    # 768 MB in 23-25 s — 1.6% more bytes for ~20% less write CPU, with
+    # identical read-back speed.  The sink write is encoding-CPU-bound
+    # (the disk itself does 1.1 GB/s).
+    "spark.hadoop.parquet.compression.codec.zstd.level": "1",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
     # local mode runs every task thread in the driver JVM; the 1g default

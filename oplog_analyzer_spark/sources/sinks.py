@@ -74,7 +74,18 @@ def write_routed(
     """
     if target_partitions:
         df = df.coalesce(target_partitions)
-    writer = df.write.mode(mode).partitionBy("category").format(format)
+    # dictionary encoding off for this sink: routed rows are dominated by
+    # unique text/id strings, so the per-column dictionary build mostly
+    # fails over to plain encoding anyway — paid in CPU first.  Measured
+    # at 20M turns (zstd-1): 23-25 s → 19-23 s write for +4% bytes,
+    # read-back unchanged.  Scoped HERE, not session-wide: compact
+    # low-cardinality tables (metrics, stats) keep the default.
+    writer = (
+        df.write.mode(mode)
+        .option("parquet.enable.dictionary", "false")
+        .partitionBy("category")
+        .format(format)
+    )
     if format == "iceberg":  # out_dir is a table identifier in this case
         writer.saveAsTable(out_dir)
     else:

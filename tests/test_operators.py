@@ -312,3 +312,36 @@ def test_humanize_bytes_matches_integer_reference(spark):
     got = {r["b"]: r["h"] for r in df.select("b", humanize_bytes("b").alias("h")).collect()}
     for v in vals:
         assert got[v] == ref(v), (v, got[v], ref(v))
+
+
+def test_normalize_id_expr_matches_udf(spark):
+    """The r7 JVM normalize_id_expr must be value-identical to the pandas
+    normalize_id UDF on every dispatch shape (incl. null, odd-length hex,
+    non-ASCII, below-threshold hex)."""
+    from pyspark.sql import functions as F
+
+    from oplog_analyzer_spark.operators.parse import normalize_id, normalize_id_expr
+
+    vals = [
+        "c00000042",                              # plain string
+        "deadbeefdeadbeefdeadbeefdeadbeef",       # 32 hex -> uuid form
+        "DEADBEEFDEADBEEFDEADBEEFDEADBEEF",       # case folding
+        "abcdef0123456789",                       # exactly 16 hex (passthrough)
+        "a" * 33,                                 # odd-length long hex (passthrough)
+        "ab" * 20,                                # 40 hex -> hex-prefix form
+        "12345",                                  # short digits
+        "",                                       # empty
+        None,                                     # null
+        "xyz=42",                                 # non-hex
+        "0123456789abcdef0123456789abcdef01",     # 34 hex, even -> prefix form
+        "é" * 20,                                 # non-ASCII passthrough
+        "deadbeef",                               # hex below 16-char threshold
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "raw string")
+    rows = df.select(
+        "raw",
+        normalize_id(F.col("raw")).alias("udf"),
+        normalize_id_expr(F.col("raw")).alias("expr"),
+    ).collect()
+    for r in rows:
+        assert r["udf"] == r["expr"], r
