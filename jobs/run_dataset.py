@@ -235,6 +235,12 @@ def main() -> None:
                     "runs after --split so copies never straddle splits")
     ap.add_argument("--temp-mix-domain",
                     help="domain column for --temp-mix (required with it)")
+    ap.add_argument("--temp-mix-splits",
+                    help="comma list of --split labels the temperature mix "
+                    "applies to (default: train — eval splits stay "
+                    "untouched so r<1 thinning / upsampling cannot "
+                    "distort held-out sets; pass 'all' for the pre-r7 "
+                    "mix-everything behavior); ignored without --split")
     ap.add_argument("--temp-mix-budget", type=int,
                     help="output size target in docs for --temp-mix "
                     "(default: corpus size — epoch-preserving)")
@@ -560,6 +566,7 @@ def main() -> None:
         df = observe("rows_after_gopher", df)
 
     trigram_persisted = None
+    internal_persists = []  # stage-internal caches, unpersisted after the write
     if args.trigram_gate is not None:
         # the self-scoring model rides a broadcast-exchange subplan that
         # would re-execute the whole upstream DAG; persist so both the
@@ -568,6 +575,7 @@ def main() -> None:
         cov = TS.trigram_coverage(
             df, id_col=args.id_col, text_col=args.text_col,
             top_k=args.trigram_top_k or 1000,
+            persist_registry=internal_persists,
         )
         df = df.join(
             cov.filter(F.col("trigram_cov_x10000") >= args.trigram_gate)
@@ -603,6 +611,7 @@ def main() -> None:
             id_col=args.id_col, text_col=args.text_col,
             n_buckets=args.dsir_buckets or 64,
             seed=args.seed, hash_fn=args.hash, k=args.dsir_select,
+            persist_registry=internal_persists,
         )
         df = df.join(
             scores.filter("selected").select(F.col("id").alias(args.id_col)),
@@ -669,19 +678,39 @@ def main() -> None:
         # persist the pre-mix frame so it fills a cache the final write
         # reads back (the ADVICE-r05 pack_sequences lesson, same class)
         temp_persisted = df = df.persist()
-        df = SP.temperature_upsample(
-            df, args.temp_mix_domain, alpha=args.temp_mix,
+        # with --split, mix only the requested splits (default train —
+        # ADVICE r06: mixing val/test stochastically deletes high-resource
+        # eval rows and duplicates low-resource ones, silently distorting
+        # held-out sets); the other splits pass through untouched
+        mix_scope = None
+        if args.split and (args.temp_mix_splits or "train") != "all":
+            wanted = [
+                s.strip() for s in (args.temp_mix_splits or "train").split(",")
+            ]
+            mix_scope = F.col("split").isin(wanted)
+        src = df.filter(mix_scope) if mix_scope is not None else df
+        mixed = SP.temperature_upsample(
+            src, args.temp_mix_domain, alpha=args.temp_mix,
             id_col=args.id_col, budget=args.temp_mix_budget,
             seed=args.seed + 4, hash_fn=args.hash,
         )
         # replicas get a composite id (the --chunk precedent) so
         # downstream pack/shuffle hashing treats each copy as its own
         # row; copies of one doc still share the doc prefix, and the
-        # upsample runs AFTER --split so they can never straddle splits
-        df = df.withColumn(
+        # upsample runs AFTER --split so copies never straddle splits
+        mixed = mixed.withColumn(
             args.id_col,
             F.concat_ws("#", F.col(args.id_col).cast("string"), "copy_idx"),
         ).drop("copy_idx")
+        if mix_scope is None:
+            df = mixed
+        else:
+            # composite ids made the mixed side string-typed; align the
+            # untouched splits so the union keeps one id type
+            rest = df.filter(~mix_scope).withColumn(
+                args.id_col, F.col(args.id_col).cast("string")
+            )
+            df = mixed.unionByName(rest)
         df = observe("rows_after_temp_mix", df)
 
     if args.chunk:
@@ -741,6 +770,11 @@ def main() -> None:
         dsir_persisted.unpersist()
     if temp_persisted is not None:
         temp_persisted.unpersist()
+    for frame in internal_persists:
+        # stage-internal caches (trigram exploded frame, dsir counts and
+        # scores) — ADVICE r06: these leaked across invocations in a
+        # long-lived session before the registry existed
+        frame.unpersist()
 
     def _obs_rows(obs) -> int:
         # When an upstream gate empties the frame, AQE's empty-relation

@@ -182,8 +182,11 @@ def dsir_selected(scores: DataFrame, k: int) -> DataFrame:
     )
     if kth is None:  # empty input
         return scores.withColumn("selected", F.lit(False))
+    # the id passes through UNCOERCED (ADVICE r06): int() raised on
+    # string id columns, which run_dataset's --id-col/--dsir-select
+    # exposes (uniform_sample_k already passed the raw value)
     thr = F.struct(
-        F.lit(int(kth["ns"])).alias("ns"), F.lit(int(kth["i"])).alias("i")
+        F.lit(int(kth["ns"])).alias("ns"), F.lit(kth["i"]).alias("i")
     )
     return scores.withColumn("selected", key <= thr)
 
@@ -198,6 +201,7 @@ def dsir_weights(
     hash_fn: str = "xxhash64",
     k: int | None = None,
     persist_counts: bool = True,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """The composed DSIR frame: hashed features → bucket log-ratios
     (against ``target``, a frame carrying ``id_col``) → per-doc scores,
@@ -213,6 +217,8 @@ def dsir_weights(
     counts = hashed_ngram_counts(df, id_col, text_col, n_buckets, seed, hash_fn)
     if persist_counts:
         counts = counts.persist()
+        if persist_registry is not None:
+            persist_registry.append(counts)
     ratios = dsir_bucket_ratios(counts, target.select(id_col), n_buckets)
     scores = dsir_scores(df, counts, ratios, id_col)
     if k is None:
@@ -224,4 +230,6 @@ def dsir_weights(
         # including the ratio aggregate feeding its broadcast join — run
         # once
         scores = scores.persist()
+        if persist_registry is not None:
+            persist_registry.append(scores)
     return dsir_selected(scores, k)

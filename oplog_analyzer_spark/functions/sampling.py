@@ -523,7 +523,12 @@ def token_budget_sample(
     for b in sorted(sums):
         if running >= budget:
             break
-        if running + sums[b] <= budget:
+        # STRICT < for the whole-bucket keep (ADVICE r06): a bucket whose
+        # prefix END == budget must be the boundary bucket, because a
+        # zero-token doc at its end has predecessor-sum == budget and the
+        # documented 'cumulative < budget' rule (and the SQL twin) drops
+        # it — the <= fast path kept it
+        if running + sums[b] < budget:
             full.append(b)
         else:
             boundary = b

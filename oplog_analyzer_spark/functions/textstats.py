@@ -519,6 +519,7 @@ def trigram_coverage(
     text_col: str = "text",
     top_k: int = 1000,
     model: DataFrame | None = None,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Corpus-model quality score — the integer-exact analog of CCNet's
     per-document language-model perplexity filter (Wenzek et al. 2020
@@ -550,6 +551,11 @@ def trigram_coverage(
     )
     if model is None:
         exploded = exploded.persist()
+        if persist_registry is not None:
+            # long-lived callers (run_dataset) unpersist after their
+            # terminal action (ADVICE r06: internal persists otherwise
+            # accumulate across invocations in one session)
+            persist_registry.append(exploded)
         # same deterministic (count desc, trigram asc) cut as
         # trigram_model, derived from the shared exploded frame
         model = (

@@ -2411,3 +2411,37 @@ def test_score_quantile_buckets_semantics(spark):
         score_quantile_buckets(df, "s", max_distinct=5)
     with _pytest.raises(ValueError, match="n_buckets"):
         score_quantile_buckets(df, "s", n_buckets=1)
+
+
+def test_token_budget_boundary_bucket_strict(spark):
+    """A bucket whose prefix END == budget must be treated as the boundary
+    bucket (ADVICE r06): a zero-token doc at its end has predecessor-sum
+    == budget and the documented strict 'cumulative < budget' rule drops
+    it — the former <=-fast-path kept the whole bucket."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from oplog_analyzer_spark.functions.hashing import seeded_hash
+    from oplog_analyzer_spark.functions.sampling import token_budget_sample
+
+    rows = [(i, " ".join(["w"] * (3 if i % 4 else 0))) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for budget in (1, 9, 24, 48, 96, 144):
+        kept = token_budget_sample(df, budget, seed=11, n_buckets=4)
+        got = {r["doc_id"] for r in kept.collect()}
+        # naive single-window oracle over the same (bucket, hash, id) order
+        h = seeded_hash(11, F.col("doc_id"), "xxhash64")
+        ordered = df.withColumn("__h", h).withColumn(
+            "__b", F.pmod(F.col("__h"), F.lit(4)).cast("int")
+        ).withColumn("__n", F.size(F.split(F.trim("text"), r"\s+")))
+        ordered = ordered.withColumn(
+            "__n", F.when(F.trim("text") == "", 0).otherwise(F.col("__n"))
+        )
+        w = Window.orderBy("__b", "__h", "doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        naive = ordered.withColumn(
+            "__cum", F.coalesce(F.sum("__n").over(w), F.lit(0))
+        ).filter(F.col("__cum") < budget)
+        want = {r["doc_id"] for r in naive.collect()}
+        assert got == want, (budget, sorted(got ^ want))

@@ -1008,3 +1008,41 @@ def test_run_dataset_dedup_against_stage(spark, tmp_path, monkeypatch, capsys):
     assert s["rows_after_dedup_against"] == 7
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [3000 + i for i in range(7)]
+
+
+def test_run_dataset_temp_mix_scopes_to_train_split(spark, tmp_path, monkeypatch, capsys):
+    """With --split, --temp-mix applies to the train split only by default
+    (ADVICE r06): eval rows pass through exactly once, un-replicated and
+    un-thinned, with their original (non-composite) ids."""
+    import json
+
+    rows = [
+        (i, f"doc number {i} some words here", "en" if i < 32 else "fr")
+        for i in range(40)
+    ]
+    src = str(tmp_path / "docs_skew2")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+
+    from jobs.run_dataset import main
+
+    out = str(tmp_path / "out_tempmix_split")
+    printed = _run(main, [
+        "--input", src, "--output", out,
+        "--split", "train=0.5,val=0.5",
+        "--temp-mix", "0.5", "--temp-mix-domain", "lang",
+        "--temp-mix-budget", "40",
+    ], monkeypatch, capsys)
+    summary = json.loads(printed.strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    assert summary["rows_after_temp_mix"] == got.count()
+    val = got.filter("split = 'val'")
+    train = got.filter("split = 'train'")
+    # val rows untouched: original ids, exactly the split's rows
+    val_ids = [r["doc_id"] for r in val.collect()]
+    assert val_ids and all("#" not in str(i) for i in val_ids)
+    assert len(set(val_ids)) == len(val_ids)
+    # train rows are the mixed epoch: composite ids
+    train_ids = [str(r["doc_id"]) for r in train.collect()]
+    assert train_ids and all("#" in i for i in train_ids)
