@@ -815,7 +815,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from .sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     out = bpe_token_count(fingerprint(language_id(quality_score(token_count(docs)))))
     return out.select(
         "doc_id", "n_tokens", "n_bpe_tokens", "n_chars", "n_punct",

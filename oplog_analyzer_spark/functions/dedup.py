@@ -419,8 +419,15 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact-jaccard verification of the candidate set
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh"))
+    # exact-jaccard verification of the candidate set — over xxhash64'd
+    # shingle arrays: set intersection/union sizes are preserved by any
+    # (collision-free) injection, and the two verify joins then exchange
+    # long arrays instead of n-word string arrays (same §2.3 trade and
+    # collision bound as ngram_jaccard_pairs' index key)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("sh"),
+    )
     verified = (
         cand.join(sh.withColumnRenamed("sh", "sh_a"), cand.id_a == F.col("id"))
         .drop("id")
@@ -1025,11 +1032,14 @@ def dedup_against(
         .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("base_id"))
         .distinct()
     )
+    # hashed verify arrays — the minhash_lsh_pairs narrowing, same bound
     sh_new = new_df.select(
-        F.col(id_col).alias("new_id"), shingles(text_col, shingle_n).alias("sh_a")
+        F.col(id_col).alias("new_id"),
+        F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("sh_a"),
     )
     sh_base = base_df.select(
-        F.col(id_col).alias("base_id"), shingles(text_col, shingle_n).alias("sh_b")
+        F.col(id_col).alias("base_id"),
+        F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("sh_b"),
     )
     verified = (
         cand.join(sh_new, "new_id")

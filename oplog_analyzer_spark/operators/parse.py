@@ -203,6 +203,18 @@ def diff_stats(blocks: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"diff_fields": fields, "total_elements": elements})
 
 
+def _guarded_extract(marker: str, pattern: str) -> F.Column:
+    """``regexp_extract`` short-circuited by a substring ``contains``
+    pre-test: the marker is a prefix of any possible match, so rows
+    without it return "" exactly as the unguarded regex would — but via
+    one cheap indexOf scan instead of walking the full text with the
+    regex engine (most rows carry no diff/sub block; measured ~4% off
+    the 20M-turn parse stage, exact-equality checked)."""
+    return F.when(
+        F.col("text").contains(marker), F.regexp_extract("text", pattern, 1)
+    ).otherwise(F.lit(""))
+
+
 def parse_transcripts(
     df: DataFrame, with_diff_stats: bool = True, grok_udf: bool = False
 ) -> DataFrame:
@@ -228,7 +240,7 @@ def parse_transcripts(
             .withColumn("id", normalize_id_expr(F.col("_g.id")))
             .drop("_g")
             .withColumn("size", F.octet_length("text").cast("long"))
-            .withColumn("sub", F.regexp_extract("text", r"sub:(\S+)", 1))
+            .withColumn("sub", _guarded_extract("sub:", r"sub:(\S+)"))
         )
     else:
         out = (
@@ -236,14 +248,14 @@ def parse_transcripts(
             .withColumn("op", F.regexp_extract("text", _OP_RE, 1))
             .withColumn("id", normalize_id_expr(F.regexp_extract("text", _ID_RE, 1)))
             .withColumn("size", F.octet_length("text").cast("long"))
-            .withColumn("sub", F.regexp_extract("text", r"sub:(\S+)", 1))
+            .withColumn("sub", _guarded_extract("sub:", r"sub:(\S+)"))
         )
     if with_diff_stats:
         # struct column kept intact (see diff_stats docstring); downstream
         # reads diff.diff_fields / diff.total_elements — free once written
         # to parquet
         out = out.withColumn(
-            "diff", diff_stats(F.regexp_extract("text", r"diff=(\{.*?\})(?: |$)", 1))
+            "diff", diff_stats(_guarded_extract("diff={", r"diff=(\{.*?\})(?: |$)"))
         )
     return out
 
