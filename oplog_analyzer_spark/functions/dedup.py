@@ -616,21 +616,14 @@ def embedding_neardup_pairs(
     path is ``similarity.lsh_buckets`` which cuts the candidate space
     before this exact check.
     """
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: (x / norm(F.col(vec_col))).cast("double")).alias("v"),
-    )
+    from .similarity import _dot, normalize
+
+    vecs = normalize(df, vec_col).select(F.col(id_col).alias("id"), "v")
     left = vecs if max_left is None else vecs.filter(F.col("id") < max_left)
     pairs = left.alias("a").join(
         vecs.alias("b"), F.col("a.id") < F.col("b.id"), "inner"
     )
-    cos = dot(F.col("a.v"), F.col("b.v"))
+    cos = _dot(F.col("a.v"), F.col("b.v"))
     return (
         pairs.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine")
