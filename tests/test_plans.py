@@ -184,12 +184,16 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
-def test_trigram_scoring_model_join_is_broadcast(spark):
-    """trigram_coverage's scoring join must broadcast the <=top_k-row
-    model — a sort-merge join here would shuffle every exploded trigram
-    row (corpus-sized) against a 500-row table."""
+def test_trigram_scoring_has_no_join(spark):
+    """trigram_coverage self-scoring: the <=top_k-gram model is collected
+    (bounded) and scoring is one InSet aggregate pass over the cached
+    exploded frame — NO join node between the cache scan and the doc
+    aggregate (r7; a sort-merge join here would shuffle every exploded
+    trigram row against a 500-row table, and even the broadcast form
+    copied every row through the join operator)."""
     plan = plan_of(Q.trigram_quality(spark, SF_SMALL))
-    assert "BroadcastHashJoin" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
     assert "SortMergeJoin" not in plan
 
 
