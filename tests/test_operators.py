@@ -345,3 +345,35 @@ def test_normalize_id_expr_matches_udf(spark):
     ).collect()
     for r in rows:
         assert r["udf"] == r["expr"], r
+
+
+def test_diff_counts_kernel_matches_stdlib_reference():
+    """The r7 one-pass orjson kernel behind diff_stats must agree with the
+    original two-pass stdlib form (json.loads + recursive _count_elements)
+    on adversarial JSON shapes: quoted structural chars, escape sequences,
+    empty containers at every nesting, whitespace, floats/booleans/nulls,
+    unicode, >64-bit ints and NaN/Infinity literals (where orjson raises
+    and the kernel's stdlib fallback must engage)."""
+    import json
+
+    from oplog_analyzer_spark.operators.parse import _count_elements, _diff_counts
+
+    vals = [
+        "{}",
+        '{"a":1}',
+        '{"a":[]}',
+        '{"a":{}}',
+        '{"a":[1,2,3],"b":{"c":{"d":[true,false,null]}},"e":"x,y{z}[w]"}',
+        '{"a":"he said \\"hi, there\\"","b":[["x"],[]]}',
+        '{ "a" : [ 1 , 2 ] , "b" : { } }',
+        '{"s":"\\\\","t":"\\\\\\"","u":[{"v":[]},{}]}',
+        '{"a":[[],[[]]],"b":1}',
+        '{"n":-1.5e3,"m":[0.0,2e-2]}',
+        '{"uni":"日本語, {テスト}","x":[1]}',
+        '{"big":123456789012345678901234567890}',   # orjson rejects >64-bit
+        '{"nan":NaN,"inf":[Infinity,-Infinity]}',   # orjson rejects non-std
+        '[1,{"a":2},[3,[]]]',                       # top-level array
+    ]
+    for v in vals:
+        ref = json.loads(v)
+        assert _diff_counts(v) == (len(ref), _count_elements(ref)), v
