@@ -197,3 +197,46 @@ def test_iceberg_probe_and_fallback(spark):
     from oplog_analyzer_spark.sources.sinks import iceberg_available
 
     assert iceberg_available(spark) is False
+
+
+def test_per_sink_aggregates_split_form_matches_single_pass(spark):
+    """r7: the exact-distinct path splits the regular aggs (full map-side
+    combine) from a keys-only distinct count and null-safe-joins the two —
+    the rewrite must be row-identical to the straightforward single
+    groupBy, INCLUDING null ns/category groups (a null-unsafe join would
+    silently drop them)."""
+    from oplog_analyzer_spark.sources.sinks import per_sink_aggregates
+
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                None if i % 17 == 0 else f"cat{i % 3}",
+                None if i % 23 == 0 else f"db.c{i % 5}",
+                f"conv{i % 40}",
+                "iudc"[i % 4],
+                i * 10,
+            )
+        )
+    routed = spark.createDataFrame(
+        rows, "category string, ns string, conv_id string, op string, size long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("size") + 1_600_000_000))
+
+    reference = routed.groupBy("category", "ns").agg(
+        F.count(F.lit(1)).alias("op_count"),
+        F.sum(F.when(F.col("op") == "i", 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_update"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_delete"),
+        F.sum(F.when(F.col("op") == "c", 1).otherwise(0)).alias("n_command"),
+        F.countDistinct("conv_id").alias("distinct_conv"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum("size").alias("total_bytes"),
+    )
+    got = per_sink_aggregates(routed)
+    assert got.columns == reference.columns
+    assert got.exceptAll(reference).count() == 0
+    assert reference.exceptAll(got).count() == 0
+    # null groups present and matched (9 null-category groups in the data)
+    assert got.filter(F.col("category").isNull()).count() > 0
+    assert got.filter(F.col("ns").isNull()).count() > 0
