@@ -388,3 +388,32 @@ def test_role_catalog_enrich_consistency(spark, transcripts):
     joined = parsed.join(F.broadcast(dim), on="role", how="left")
     assert joined.filter(F.col("op_class").isNull()).count() == 0
     assert joined.filter(F.col("op") != F.col("op_class")).count() == 0
+
+
+def test_unwind_string_explode_edge_shapes(spark):
+    """r7 rewrite (string-array explode + codegen post-project) must keep
+    the old struct-transform semantics exactly: a NULL sub row passes
+    through as parent, and a malformed element without '/' raises the
+    same ANSI array-index error the old ``F.transform`` form raised
+    (verified against the pre-rewrite implementation)."""
+    df = spark.createDataFrame(
+        [
+            ("x.$cmd", "c", "a.b/i;c.d/u", 100),
+            ("x.y", "c", None, 50),  # null sub → parent pass-through
+        ],
+        "ns string, op string, sub string, size long",
+    )
+    out = sorted(
+        (r["ns"], r["op"], r["size"]) for r in unwind_applyops(df).collect()
+    )
+    assert out == [
+        ("a.b", "i", 50),
+        ("c.d", "u", 50),
+        ("x.y", "c", 50),          # null sub passes through unchanged
+    ]
+    bad = spark.createDataFrame(
+        [("x.$cmd", "c", "a.b/i;noslash", 100)],
+        "ns string, op string, sub string, size long",
+    )
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        unwind_applyops(bad).collect()
