@@ -132,11 +132,61 @@ def _is_star_forest(e: DataFrame) -> bool:
     return (row["viol"] or 0) == 0
 
 
+def _local_components(spark, rows, edge_schema) -> DataFrame:
+    """Finish a SMALL collected edge set on the driver with union-find —
+    the multi-level pattern: contract distributed until the graph fits a
+    bounded buffer, then stop paying ~2 shuffles + 2 jobs per round for a
+    problem that is microseconds of driver CPU.  Union-by-min keeps every
+    root the component minimum, so labels are identical to the star
+    alternation's fixpoint.  Python's ``<`` agrees with Spark's ordering
+    on the id types that reach this code (longs; strings compare by code
+    point, which equals UTF8String's UTF-8 byte order).  The result frame
+    is built from pandas through Arrow — never ``createDataFrame(list)``,
+    whose Python-RDD scan would respawn workers on every downstream
+    broadcast."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", edge_schema["u"].dataType),
+            StructField("component", edge_schema["v"].dataType),
+        ]
+    )
+    if not parent:
+        return spark.createDataFrame([], out_schema)
+    import pandas as pd
+
+    ids = list(parent)
+    pdf = pd.DataFrame({"id": ids, "component": [find(x) for x in ids]})
+    return spark.createDataFrame(pdf, schema=out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    local_max_edges: int | None = 65536,
 ) -> DataFrame:
     """Component labels for every node appearing in ``edges``: returns
     ``(id, component)`` where ``component`` is the component's minimum
@@ -154,12 +204,28 @@ def connected_components(
 
     Ids may be any orderable type (long doc ids, string conv ids);
     "minimum" follows Spark's ordering for the type.
+
+    ``local_max_edges`` (r7): a bounded driver finish — before each round
+    a ``limit(cap+1).collect()`` probe (one cheap job over the
+    already-checkpointed edge set, ≤ ~2 MB shipped) checks whether the
+    canonical edge set fits the cap; if so the components are resolved
+    with driver union-find instead of more alternation rounds, each of
+    which costs ~2 shuffles + the fixpoint job at fixed latency
+    (measured: the whole loop was ~1.1 s for 256 edges at sf0.1 / 16c).
+    Same family as the repo's other bounded collects (dsir threshold,
+    semdedup centroids): the cap bounds driver memory by construction,
+    and a web-scale near-dup edge list blows past it so the distributed
+    loop runs unchanged.  Pass ``None``/0 to force the distributed path.
     """
     e = _canonical(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=True)
 
     for _ in range(max_iter + 1):
+        if local_max_edges:
+            head = e.limit(local_max_edges + 1).collect()
+            if len(head) <= local_max_edges:
+                return _local_components(e.sparkSession, head, e.schema)
         if _is_star_forest(e):
             break
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

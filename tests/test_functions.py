@@ -1262,9 +1262,62 @@ def test_connected_components_star_input_zero_rounds(spark, monkeypatch):
     df = spark.createDataFrame(
         [(5, 1), (7, 1), (9, 2)], "id_a long, id_b long"
     )
-    got = {r["id"]: r["component"] for r in G.connected_components(df).collect()}
+    # local_max_edges=0 forces the distributed loop (the r7 bounded driver
+    # finish would otherwise resolve this tiny graph before the check)
+    got = {
+        r["id"]: r["component"]
+        for r in G.connected_components(df, local_max_edges=0).collect()
+    }
     assert got == {1: 1, 5: 1, 7: 1, 9: 2, 2: 2}
     assert calls == []
+
+
+def test_connected_components_local_finish_equals_distributed(spark):
+    """r7: the bounded driver union-find finish (default, fires when the
+    canonical edge set fits local_max_edges) must label identically to the
+    distributed star alternation on the same graphs — longs, strings, and
+    an empty set; the cap probe must not disturb the distributed result."""
+    import random
+
+    from oplog_analyzer_spark.functions import graph as G
+
+    rng = random.Random(99)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {
+        r["id"]: r["component"] for r in G.connected_components(df).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in G.connected_components(df, local_max_edges=0).collect()
+    }
+    assert local == dist
+
+    sdf = spark.createDataFrame(
+        [("conv_b", "conv_a"), ("conv_c", "conv_b"), ("zz", "yy")],
+        "id_a string, id_b string",
+    )
+    local_s = {
+        r["id"]: r["component"] for r in G.connected_components(sdf).collect()
+    }
+    dist_s = {
+        r["id"]: r["component"]
+        for r in G.connected_components(sdf, local_max_edges=0).collect()
+    }
+    assert local_s == dist_s
+    assert G.connected_components(sdf).schema == G.connected_components(
+        sdf, local_max_edges=0
+    ).schema or [
+        (f.name, f.dataType)
+        for f in G.connected_components(sdf).schema.fields
+    ] == [
+        (f.name, f.dataType)
+        for f in G.connected_components(sdf, local_max_edges=0).schema.fields
+    ]
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert G.connected_components(empty).count() == 0
 
 
 def test_dedup_clusters_and_size_stats(spark):
