@@ -18,6 +18,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .tables import _NON_SCAN_NODES
+
+
+def _cheaply_rescannable(df: DataFrame) -> bool:
+    """True when ``df`` is a plain (possibly projected/filtered) source
+    scan that two aggregation branches can each read for the cost of one
+    column-pruned scan — false for computed frames (joins, explodes,
+    aggregates, Python stages upstream), where referencing the frame twice
+    would re-execute the whole chain twice."""
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+    except Exception:
+        return False
+    return not any(node in plan for node in _NON_SCAN_NODES + ("Generate",))
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     """Probe for the iceberg-spark-runtime jar on the session's classpath.
@@ -117,6 +132,12 @@ def per_sink_aggregates(routed: DataFrame, exact_distinct: bool = True) -> DataF
     null ns/category group matches its twin exactly as the single-pass
     form groups it.  The HLL path keeps the one-pass form — sketches
     merge map-side, so its exchange never carried the blowup.
+
+    The split fires only when ``routed`` is cheaply re-scannable (a plain
+    file scan, e.g. the bench's sink read-back): two branches over a
+    COMPUTED frame would re-execute the whole parse→unwind→route chain
+    twice (the plan grows a second Generate + join subtree), so those
+    callers keep the single-pass form.
     """
     regular = [
         F.count(F.lit(1)).alias("op_count"),
@@ -134,6 +155,12 @@ def per_sink_aggregates(routed: DataFrame, exact_distinct: bool = True) -> DataF
         return routed.groupBy("category", "ns").agg(
             *regular,
             F.approx_count_distinct("conv_id", 0.02).alias("distinct_conv"),
+            *tail,
+        )
+    if not _cheaply_rescannable(routed):
+        return routed.groupBy("category", "ns").agg(
+            *regular,
+            F.countDistinct("conv_id").alias("distinct_conv"),
             *tail,
         )
     base = routed.groupBy("category", "ns").agg(*regular, *tail)

@@ -240,3 +240,28 @@ def test_per_sink_aggregates_split_form_matches_single_pass(spark):
     # null groups present and matched (9 null-category groups in the data)
     assert got.filter(F.col("category").isNull()).count() > 0
     assert got.filter(F.col("ns").isNull()).count() > 0
+
+    # the split fires on a cheaply re-scannable source (this local
+    # relation): two Aggregate branches + the re-join in the plan ...
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate ") == 2 and "Join" in plan
+    # ... but a COMPUTED frame (join upstream) keeps the single-pass form
+    # — a second branch would re-execute the whole upstream chain twice
+    dim = spark.sql("SELECT * FROM VALUES ('cat0', 'g0') AS t(category, grp)")
+    computed = routed.join(dim, "category")
+    single = per_sink_aggregates(computed.drop("grp"))
+    plan2 = single._jdf.queryExecution().optimizedPlan().toString()
+    assert plan2.count("Aggregate ") == 1
+    ref2 = computed.drop("grp").groupBy("category", "ns").agg(
+        F.count(F.lit(1)).alias("op_count"),
+        F.sum(F.when(F.col("op") == "i", 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_update"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_delete"),
+        F.sum(F.when(F.col("op") == "c", 1).otherwise(0)).alias("n_command"),
+        F.countDistinct("conv_id").alias("distinct_conv"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum("size").alias("total_bytes"),
+    )
+    assert single.exceptAll(ref2).count() == 0
+    assert ref2.exceptAll(single).count() == 0
