@@ -221,8 +221,18 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=True)
 
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType, StringType
+
+    # driver union-find relies on Python's ``<`` matching Spark's ordering
+    # — exact for integrals and strings (UTF-8 byte order ≡ code points),
+    # NOT for floats (NaN) or other exotic id types, which stay distributed
+    local_ok = local_max_edges and isinstance(
+        e.schema["u"].dataType,
+        (ByteType, ShortType, IntegerType, LongType, StringType),
+    )
+
     for _ in range(max_iter + 1):
-        if local_max_edges:
+        if local_ok:
             head = e.limit(local_max_edges + 1).collect()
             if len(head) <= local_max_edges:
                 return _local_components(e.sparkSession, head, e.schema)
